@@ -1,0 +1,74 @@
+"""Frequency-domain token selection (DWT pyramid scoring).
+
+TPU-native equivalent of ``Frequency_based_Token_Selection``
+(reference: modeling/fusion_part/Frequency.py:10-84):
+  1. J=4 Haar/zero DWT of each modality,
+  2. average lowpass + per-level highpass bands across modalities,
+  3. inverse DWT,
+  4. per-window count of positive pixels, global top-``keep`` windows →
+     boolean patch-token mask.
+
+The reference counts windows with a *per-image Python loop* over ``F.unfold``
+(Frequency.py:49-56); here the count is one batched ``lax.reduce_window`` —
+fully vectorized, no host control flow, XLA fuses it with the DWT convs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from editor_tpu.ops.wavelets import wavedec2, waverec2
+
+Array = jax.Array
+
+
+def topk_bool_mask(scores: Array, k: int) -> Array:
+    """[B, G] scores → [B, G] bool mask with exactly k True per row.
+
+    Static-shape equivalent of torch ``topk`` + ``scatter_``
+    (reference: Frequency.py:58-63, SFTS.py:154-163). Ties broken by lowest
+    index, like torch.topk on contiguous input.
+    """
+    _, idx = jax.lax.top_k(scores, k)  # [B, k]
+    onehots = jax.nn.one_hot(idx, scores.shape[-1], dtype=jnp.int32)  # [B,k,G]
+    return jnp.sum(onehots, axis=1) > 0
+
+
+def window_positive_counts(img: Array, window: int, stride: int) -> Array:
+    """[B, H, W] → [B, H//stride, W//stride] count of >0 pixels per window."""
+    pos = (img > 0).astype(jnp.int32)
+    return jax.lax.reduce_window(
+        pos, 0, jax.lax.add,
+        window_dimensions=(1, window, window),
+        window_strides=(1, stride, stride),
+        padding="VALID",
+    )
+
+
+def frequency_token_select(
+    modalities: List[Array],
+    keep: int,
+    stride: int = 16,
+    window: int = 16,
+    J: int = 4,
+    wave: str = "haar",
+) -> Array:
+    """Args: list of 2-3 [B, H, W, C] images. Returns [B, P] bool token mask
+    (P = (H//stride)*(W//stride)), row-major over the patch grid."""
+    mods = [m for m in modalities if m is not None]
+    lows, highs_all = [], []
+    for m in mods:
+        low, highs = wavedec2(m.astype(jnp.float32), wave=wave, J=J, mode="zero")
+        lows.append(low)
+        highs_all.append(highs)
+    n = float(len(mods))
+    low = sum(lows) / n  # reference: Frequency.py:66-79
+    highs = [sum(level) / n for level in zip(*highs_all)]
+    inv = waverec2(low, highs, wave=wave, mode="zero")  # [B, H, W, C]
+    gray = jnp.mean(inv, axis=-1)  # channel mean (Frequency.py:44)
+    counts = window_positive_counts(gray, window, stride)
+    B = counts.shape[0]
+    return topk_bool_mask(counts.reshape(B, -1).astype(jnp.float32), keep)

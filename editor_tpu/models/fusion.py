@@ -1,0 +1,159 @@
+"""HMA — Hierarchical Masked Aggregation fusion block.
+
+TPU-native equivalent of reference ``BlockMask`` / ``AttentionMask`` /
+``MlpMasked`` (modeling/backbones/vit_pytorch.py:148-168,227-352): per-modality
+masked attention + masked MLP residual blocks, OCFR loss on cls tokens, then a
+joint masked attention over the concatenated [RGB|NIR|TIR] tokens (3·(1+P)),
+output LayerNorm, re-mask.
+
+Masking semantics (exactly the reference's):
+  * tokens multiplied by the mask before qkv / fc1,
+  * attention logits additively masked where ``mask @ maskᵀ == 0`` with -65504,
+  * post-softmax rows multiplied by the (query) mask.
+All shapes static; the mask-multiply design avoids gathers entirely — this is
+already the right shape for the MXU, and the fused Pallas kernel in
+editor_tpu/ops/masked_attention.py implements the same contract.
+
+Note: BlockMask LayerNorms use torch's default eps=1e-5 (the reference passes
+no eps here, unlike the backbone's 1e-6 — vit_pytorch.py:265 vs :699), and all
+its Linears are bias-free (qkv_bias=False, make_model.py:97-98).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from editor_tpu.models.layers import gelu, layernorm, layernorm_init, linear, linear_init
+from editor_tpu.models.ocfr import ocfr_update_and_loss
+from editor_tpu.ops.masked_attention import masked_attention
+
+Array = jax.Array
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default (BlockMask uses the default)
+MASK_FILL = -65504.0  # reference: vit_pytorch.py:252
+
+
+def _masked_attn_init(key: Array, dim: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "qkv": linear_init(k1, dim, 3 * dim, bias=False),
+        "proj": linear_init(k2, dim, dim, bias=False),
+    }
+
+
+def _masked_mlp_init(key: Array, dim: int, hidden: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, dim, hidden, bias=False),
+        "fc2": linear_init(k2, hidden, dim, bias=False),
+    }
+
+
+def blockmask_init(key: Array, dim: int = 768, mlp_ratio: float = 4.0) -> dict:
+    hidden = int(dim * mlp_ratio)
+    ks = jax.random.split(key, 8)
+    p = {}
+    for i, mod in enumerate(("R", "N", "T")):
+        p[f"norm{mod}"] = layernorm_init(dim)
+        p[f"attn{mod}"] = _masked_attn_init(ks[2 * i], dim)
+        p[f"norm{mod}_"] = layernorm_init(dim)
+        p[f"mlp{mod}"] = _masked_mlp_init(ks[2 * i + 1], dim, hidden)
+    p["norm1"] = layernorm_init(dim)
+    p["attn1"] = _masked_attn_init(ks[6], dim)
+    p["norm2"] = layernorm_init(dim)
+    p["mlp"] = _masked_mlp_init(ks[7], dim, hidden)
+    p["out_norm"] = layernorm_init(dim)
+    return p
+
+
+def _tile_mask(mask: Array, n_tokens: int) -> Array:
+    """Repeat [B, M, 1] mask along tokens if the sequence is a k× concat
+    (reference: vit_pytorch.py:159-161, 242-244)."""
+    if mask.shape[1] != n_tokens:
+        reps = n_tokens // mask.shape[1]
+        mask = jnp.tile(mask, (1, reps, 1))
+    return mask
+
+
+def masked_attention_block(p: dict, x: Array, mask: Array, num_heads: int,
+                           use_pallas: bool = True) -> Array:
+    """AttentionMask.forward (reference: vit_pytorch.py:240-258)."""
+    B, N, C = x.shape
+    m = _tile_mask(mask, N)
+    xm = x * m.astype(x.dtype)
+    H, D = num_heads, C // num_heads
+    qkv = linear(p["qkv"], xm).reshape(B, N, 3, H, D)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    out = masked_attention(q, k, v, m[..., 0], scale=D ** -0.5,
+                           mask_fill=MASK_FILL, use_pallas=use_pallas)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    return linear(p["proj"], out)
+
+
+def masked_mlp(p: dict, x: Array, mask: Array) -> Array:
+    """MlpMasked.forward (reference: vit_pytorch.py:158-168)."""
+    m = _tile_mask(mask, x.shape[1]).astype(x.dtype)
+    y = linear(p["fc1"], x * m)
+    y = gelu(y)
+    return linear(p["fc2"], y)
+
+
+def blockmask_apply(
+    params: dict,
+    modal_feats: List[Optional[Array]],
+    mask_patches: Array,
+    ocfr_centers: Dict[str, Array],
+    labels: Optional[Array],
+    num_heads: int = 12,
+    ocfr_momentum: float = 0.8,
+    training: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[Array, Optional[Array], Dict[str, Array]]:
+    """BlockMask.forward (reference: vit_pytorch.py:309-352).
+
+    Args:
+      modal_feats: [RGB, NIR, TIR(optional None)] token tensors [B, 1+P, C].
+      mask_patches: [B, P, 1] float union mask (no cls entry).
+
+    Returns:
+      (fused tokens [B, k*(1+P), C], ocfr_loss or None, new ocfr centers).
+    """
+    B = modal_feats[0].shape[0]
+    dtype = modal_feats[0].dtype
+    ones = jnp.ones((B, 1, 1), dtype=mask_patches.dtype)
+    mask = jnp.concatenate([ones, mask_patches], axis=1)  # [B, 1+P, 1]
+
+    names = ("R", "N", "T")
+    refined = []
+    for name, feat in zip(names, modal_feats):
+        if feat is None:
+            refined.append(None)
+            continue
+        f = feat + masked_attention_block(
+            params[f"attn{name}"], layernorm(params[f"norm{name}"], feat, LN_EPS),
+            mask, num_heads, use_pallas)
+        f = f + masked_mlp(
+            params[f"mlp{name}"], layernorm(params[f"norm{name}_"], f, LN_EPS), mask)
+        refined.append(f)
+
+    present = [f for f in refined if f is not None]
+    ocfr_loss = None
+    new_centers = ocfr_centers
+    if training:
+        cls_feats = [f[:, 0, :] if f is not None else None for f in refined]
+        ocfr_loss, new_centers = ocfr_update_and_loss(
+            ocfr_centers, cls_feats, labels, momentum=ocfr_momentum)
+
+    x = jnp.concatenate(present, axis=1)
+    x = x + masked_attention_block(params["attn1"],
+                                   layernorm(params["norm1"], x, LN_EPS),
+                                   mask, num_heads, use_pallas)
+    x = x + masked_mlp(params["mlp"], layernorm(params["norm2"], x, LN_EPS), mask)
+    x = layernorm(params["out_norm"], x, LN_EPS)
+    x = x * _tile_mask(mask, x.shape[1]).astype(dtype)
+    return x, ocfr_loss, new_centers

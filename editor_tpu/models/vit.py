@@ -1,0 +1,289 @@
+"""TPU-native ViT backbone for object ReID.
+
+Functional re-design of the reference backbone ``Trans``
+(reference: modeling/backbones/vit_pytorch.py:461-644) with:
+  * NHWC images + HWIO conv patchify (overlap-capable stride) — XLA:TPU native
+    layouts (reference PatchEmbed_overlap: vit_pytorch.py:420-458).
+  * cls token, learned pos-embed, SIE camera/view embedding scaled by
+    ``sie_xishu`` (reference: vit_pytorch.py:484-504,630-637).
+  * depth-stacked block parameters + ``lax.scan`` over layers. Instead of
+    materializing 12 full per-layer attention maps like the reference
+    (vit_pytorch.py:638-644), the scan *carries the cumulative attention-rollout
+    product* — exactly what SFTS's Part_Attention needs
+    (modeling/fusion_part/SFTS.py:145-153) — in fp32.
+  * pre-LN blocks with erf-GELU, LN eps 1e-6, per-layer linearly increasing
+    DropPath (vit_pytorch.py:511).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from editor_tpu.models.layers import (
+    dropout,
+    gelu,
+    layernorm,
+    layernorm_init,
+    linear,
+    linear_init,
+    trunc_normal,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: Tuple[int, int] = (256, 128)
+    patch_size: int = 16
+    stride_size: Tuple[int, int] = (16, 16)
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    camera: int = 0
+    view: int = 0
+    sie_xishu: float = 3.0
+    ln_eps: float = 1e-6
+    num_fc_classes: int = 1000  # legacy ImageNet head kept for param parity
+
+    @property
+    def num_y(self) -> int:
+        # reference: vit_pytorch.py:429-430
+        return (self.img_size[0] - self.patch_size) // self.stride_size[0] + 1
+
+    @property
+    def num_x(self) -> int:
+        return (self.img_size[1] - self.patch_size) // self.stride_size[1] + 1
+
+    @property
+    def num_patches(self) -> int:
+        return self.num_x * self.num_y
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def scale(self) -> float:
+        return self.qk_scale if self.qk_scale is not None else self.head_dim ** -0.5
+
+
+def vit_base_config(**kw) -> ViTConfig:
+    """vit_base_patch16_224 factory args (reference: vit_pytorch.py:693-701)."""
+    return ViTConfig(embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0,
+                     qkv_bias=True, **kw)
+
+
+def vit_small_config(**kw) -> ViTConfig:
+    """vit_small_patch16_224 (reference: vit_pytorch.py:704-714)."""
+    kw.setdefault("qk_scale", 768 ** -0.5)
+    return ViTConfig(embed_dim=768, depth=8, num_heads=8, mlp_ratio=3.0,
+                     qkv_bias=False, **kw)
+
+
+def deit_small_config(**kw) -> ViTConfig:
+    """deit_small_patch16_224 (reference: vit_pytorch.py:717-727)."""
+    return ViTConfig(embed_dim=384, depth=12, num_heads=6, mlp_ratio=4.0,
+                     qkv_bias=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _block_init(key: Array, cfg: ViTConfig) -> dict:
+    C = cfg.embed_dim
+    hid = int(C * cfg.mlp_ratio)
+    ks = jax.random.split(key, 4)
+    return {
+        "norm1": layernorm_init(C),
+        "attn": {
+            "qkv": linear_init(ks[0], C, 3 * C, bias=cfg.qkv_bias),
+            "proj": linear_init(ks[1], C, C, bias=True),
+        },
+        "norm2": layernorm_init(C),
+        "mlp": {
+            "fc1": linear_init(ks[2], C, hid, bias=True),
+            "fc2": linear_init(ks[3], hid, C, bias=True),
+        },
+    }
+
+
+def vit_init(key: Array, cfg: ViTConfig) -> dict:
+    C = cfg.embed_dim
+    keys = jax.random.split(key, cfg.depth + 5)
+    # conv patchify: normal(0, sqrt(2/n)), n = kh*kw*out (vit_pytorch.py:438-441)
+    n = cfg.patch_size * cfg.patch_size * C
+    proj_w = jax.random.normal(keys[0], (cfg.patch_size, cfg.patch_size,
+                                         cfg.in_chans, C)) * (2.0 / n) ** 0.5
+    params = {
+        "patch_embed": {"proj": {"w": proj_w, "b": jnp.zeros((C,))}},
+        "cls_token": trunc_normal(keys[1], (1, 1, C), std=0.02),
+        "pos_embed": trunc_normal(keys[2], (1, cfg.num_patches + 1, C), std=0.02),
+        "norm": layernorm_init(C),
+        "fc": linear_init(keys[3], C, cfg.num_fc_classes, bias=True),
+    }
+    if cfg.camera > 1 and cfg.view > 1:
+        params["sie_embed"] = trunc_normal(keys[4], (cfg.camera * cfg.view, 1, C), std=0.02)
+    elif cfg.camera > 1:
+        params["sie_embed"] = trunc_normal(keys[4], (cfg.camera, 1, C), std=0.02)
+    elif cfg.view > 1:
+        params["sie_embed"] = trunc_normal(keys[4], (cfg.view, 1, C), std=0.02)
+    blocks = [_block_init(k, cfg) for k in keys[5:]]
+    params["blocks"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def patch_embed(p: dict, x: Array, cfg: ViTConfig) -> Array:
+    """[B,H,W,3] -> [B, P, C] tokens via strided conv on the MXU."""
+    y = jax.lax.conv_general_dilated(
+        x, p["proj"]["w"].astype(x.dtype),
+        window_strides=cfg.stride_size, padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + p["proj"]["b"].astype(x.dtype)
+    B = y.shape[0]
+    return y.reshape(B, cfg.num_patches, cfg.embed_dim)
+
+
+def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
+               rng: Optional[Array]) -> Tuple[Array, Array]:
+    """Self-attention returning (out, attn_probs[f32]) — the probs feed the
+    rollout carry (reference Attention.forward get_attn: vit_pytorch.py:184-198)."""
+    B, N, C = x.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    qkv = linear(p["qkv"], x).reshape(B, N, 3, H, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
+    q = q.transpose(0, 2, 1, 3)  # [B,H,N,D]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * cfg.scale
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if training and cfg.attn_drop_rate > 0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        attn = dropout(sub, attn, cfg.attn_drop_rate, training)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(x.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, N, C)
+    out = linear(p["proj"], out)
+    if training and cfg.drop_rate > 0 and rng is not None:
+        _, sub = jax.random.split(rng)
+        out = dropout(sub, out, cfg.drop_rate, training)
+    return out, attn
+
+
+def _mlp(p: dict, x: Array, training: bool, rate: float,
+         rng: Optional[Array]) -> Array:
+    y = gelu(linear(p["fc1"], x))
+    if training and rate > 0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        y = dropout(sub, y, rate, training)
+    y = linear(p["fc2"], y)
+    if training and rate > 0 and rng is not None:
+        _, sub = jax.random.split(rng)
+        y = dropout(sub, y, rate, training)
+    return y
+
+
+def _drop_path_scan(rng: Optional[Array], x: Array, rate: Array,
+                    training: bool) -> Array:
+    """drop_path with a traced per-layer rate (works inside lax.scan)."""
+    if not training or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, dtype=jnp.float32))
+    return (x.astype(jnp.float32) / keep * mask).astype(x.dtype)
+
+
+def vit_apply(
+    params: dict,
+    x: Array,
+    cfg: ViTConfig,
+    camera_id: Optional[Array] = None,
+    view_id: Optional[Array] = None,
+    training: bool = False,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Forward pass.
+
+    Args:
+      x: [B, H, W, 3] images (NHWC), any float dtype.
+      camera_id / view_id: [B] int32 SIE indices.
+
+    Returns:
+      tokens: [B, 1+P, C] final-norm output tokens.
+      rollout_cls: [B, heads, P] fp32 — cls-row of the product of all per-layer
+        attention maps (== Part_Attention's ``last_map[:, :, 0, 1:]``,
+        reference: modeling/fusion_part/SFTS.py:145-153).
+    """
+    B = x.shape[0]
+    C = cfg.embed_dim
+    tokens = patch_embed(params["patch_embed"], x, cfg)
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype), (B, 1, C))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = params["pos_embed"].astype(tokens.dtype)
+    # SIE embedding (reference: vit_pytorch.py:630-637)
+    if "sie_embed" in params and cfg.camera > 1 and cfg.view > 1:
+        sie = params["sie_embed"][camera_id * cfg.view + view_id]
+        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
+    elif "sie_embed" in params and cfg.camera > 1:
+        sie = params["sie_embed"][camera_id]
+        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
+    elif "sie_embed" in params and cfg.view > 1:
+        sie = params["sie_embed"][view_id]
+        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
+    else:
+        tokens = tokens + pos
+    if training and cfg.drop_rate > 0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        tokens = dropout(sub, tokens, cfg.drop_rate, training)
+
+    N = tokens.shape[1]
+    dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+    if rng is not None:
+        layer_rngs = jax.random.split(rng, cfg.depth)
+    else:
+        layer_rngs = jnp.zeros((cfg.depth, 2), dtype=jnp.uint32)
+    have_rng = rng is not None
+
+    def body(carry, inp):
+        xs, prod = carry
+        bp, rate, lrng = inp
+        r1 = r2 = r3 = None
+        if have_rng:
+            r1, r2, r3 = jax.random.split(lrng, 3)
+        mid, attn = _attention(bp["attn"], layernorm(bp["norm1"], xs, cfg.ln_eps),
+                               cfg, training, r3)
+        xs = xs + _drop_path_scan(r1, mid, rate, training)
+        xs = xs + _drop_path_scan(
+            r2, _mlp(bp["mlp"], layernorm(bp["norm2"], xs, cfg.ln_eps),
+                     training, cfg.drop_rate, r3), rate, training)
+        # cumulative rollout product in fp32 (Part_Attention chain-matmul)
+        prod = jnp.einsum("bhnm,bhmk->bhnk", attn, prod,
+                          preferred_element_type=jnp.float32)
+        return (xs, prod), None
+
+    eye = jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32),
+                           (B, cfg.num_heads, N, N))
+    (tokens, prod), _ = jax.lax.scan(
+        body, (tokens, eye), (params["blocks"], dpr, layer_rngs))
+    tokens = layernorm(params["norm"], tokens, cfg.ln_eps)
+    rollout_cls = prod[:, :, 0, 1:]
+    return tokens, rollout_cls

@@ -1,0 +1,7 @@
+from editor_tpu.ops.masked_attention import masked_attention  # noqa: F401
+from editor_tpu.ops.wavelets import (  # noqa: F401
+    wavedec1,
+    wavedec2,
+    waverec1,
+    waverec2,
+)

@@ -1,0 +1,19 @@
+"""Test harness: force an 8-device virtual CPU platform.
+
+This is the JAX analogue of the reference's gloo-on-one-box multi-process test
+pattern (reference: distributed/rendezvous.py:54, sampler_ddp.py:12-20) — see
+SURVEY.md §4.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,97 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from editor_tpu.models import vit as V
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    # tiny ViT for fast CPU tests, same structure as vit_base
+    return V.ViTConfig(img_size=(64, 32), patch_size=16, stride_size=(16, 16),
+                       embed_dim=96, depth=3, num_heads=4, mlp_ratio=2.0,
+                       qkv_bias=True, camera=4, drop_path_rate=0.1)
+
+
+def test_shapes_and_rollout(small_cfg):
+    cfg = small_cfg
+    key = jax.random.PRNGKey(0)
+    params = V.vit_init(key, cfg)
+    x = jax.random.normal(key, (2, 64, 32, 3))
+    cam = jnp.array([0, 3])
+    tokens, rollout = V.vit_apply(params, x, cfg, camera_id=cam)
+    P = cfg.num_patches
+    assert tokens.shape == (2, P + 1, cfg.embed_dim)
+    assert rollout.shape == (2, cfg.num_heads, P)
+    # rollout rows come from products of row-stochastic matrices: cls row of the
+    # full product sums to 1; dropping the cls column leaves sum <= 1
+    full = np.asarray(rollout)
+    assert np.all(full >= 0)
+    assert np.all(full.sum(-1) <= 1.0 + 1e-5)
+
+
+def test_rollout_matches_naive_chain(small_cfg):
+    """Scan-carried rollout == explicit chain-matmul of per-layer attn maps
+    (reference Part_Attention, SFTS.py:145-153)."""
+    cfg = small_cfg
+    key = jax.random.PRNGKey(1)
+    params = V.vit_init(key, cfg)
+    x = jax.random.normal(key, (2, 64, 32, 3))
+    cam = jnp.array([1, 2])
+    _, rollout = V.vit_apply(params, x, cfg, camera_id=cam)
+
+    # naive recomputation: run attention per layer collecting full maps
+    from editor_tpu.models.layers import layernorm
+    from editor_tpu.models.vit import _attention, _mlp
+
+    tokens = V.patch_embed(params["patch_embed"], x, cfg)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], 1)
+    tokens = tokens + params["pos_embed"] + cfg.sie_xishu * params["sie_embed"][cam]
+    maps = []
+    for i in range(cfg.depth):
+        bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        mid, attn = _attention(bp["attn"], layernorm(bp["norm1"], tokens, cfg.ln_eps),
+                               cfg, False, None)
+        tokens = tokens + mid
+        tokens = tokens + _mlp(bp["mlp"], layernorm(bp["norm2"], tokens, cfg.ln_eps),
+                               False, 0.0, None)
+        maps.append(attn)
+    last = maps[0]
+    for m in maps[1:]:
+        last = jnp.einsum("bhnm,bhmk->bhnk", m, last)
+    np.testing.assert_allclose(np.asarray(last[:, :, 0, 1:]), np.asarray(rollout),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_deterministic_eval(small_cfg):
+    cfg = small_cfg
+    params = V.vit_init(jax.random.PRNGKey(2), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 32, 3))
+    cam = jnp.array([0, 1])
+    t1, _ = V.vit_apply(params, x, cfg, camera_id=cam)
+    t2, _ = V.vit_apply(params, x, cfg, camera_id=cam)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_training_dropout_path_runs(small_cfg):
+    cfg = small_cfg
+    params = V.vit_init(jax.random.PRNGKey(4), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 32, 3))
+    cam = jnp.array([0, 1])
+    tokens, _ = V.vit_apply(params, x, cfg, camera_id=cam, training=True,
+                            rng=jax.random.PRNGKey(6))
+    assert np.isfinite(np.asarray(tokens)).all()
+
+
+def test_overlap_stride():
+    cfg = V.ViTConfig(img_size=(64, 32), patch_size=16, stride_size=(12, 12),
+                      embed_dim=96, depth=1, num_heads=4)
+    # (64-16)//12+1 = 5, (32-16)//12+1 = 2
+    assert cfg.num_y == 5 and cfg.num_x == 2
+    params = V.vit_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 64, 32, 3))
+    tokens, _ = V.vit_apply(params, x, cfg)
+    assert tokens.shape == (1, 11, 96)

@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from editor_tpu.ops import wavelets as W
+
+
+def rand(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape)
+
+
+@pytest.mark.parametrize("wave", ["haar", "db2", "db3", "db4", "sym4"])
+@pytest.mark.parametrize("mode", ["zero", "symmetric", "periodization"])
+def test_perfect_reconstruction_single_level(wave, mode):
+    x = rand((2, 32, 16, 3))
+    ll, highs = W.wavedec2(x, wave=wave, J=1, mode=mode)
+    y = W.waverec2(ll, highs, wave=wave, mode=mode)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+
+@pytest.mark.parametrize("wave", ["haar", "db2"])
+def test_perfect_reconstruction_multilevel(wave):
+    x = rand((1, 64, 32, 3), seed=1)
+    ll, highs = W.wavedec2(x, wave=wave, J=3, mode="zero")
+    y = W.waverec2(ll, highs, wave=wave, mode="zero")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+
+def test_haar_fast_matches_general_conv():
+    x = rand((2, 32, 16, 3), seed=2)
+    ll_fast, h_fast = W._haar_afb2d_fast(x)
+    ll_gen, h_gen = W.afb2d(x, "haar", "zero")
+    np.testing.assert_allclose(np.asarray(ll_fast), np.asarray(ll_gen), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_fast), np.asarray(h_gen), atol=1e-5)
+
+
+def test_haar_known_values():
+    # manual pairwise avg/diff on a tiny image
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    ll, highs = W.wavedec2(x, "haar", J=1, mode="zero")
+    a = np.arange(16, dtype=np.float32).reshape(4, 4)
+    ll_exp = np.array([[a[0, 0] + a[0, 1] + a[1, 0] + a[1, 1],
+                        a[0, 2] + a[0, 3] + a[1, 2] + a[1, 3]],
+                       [a[2, 0] + a[2, 1] + a[3, 0] + a[3, 1],
+                        a[2, 2] + a[2, 3] + a[3, 2] + a[3, 3]]]) / 2.0
+    np.testing.assert_allclose(np.asarray(ll)[0, :, :, 0], ll_exp, atol=1e-5)
+
+
+def test_orthogonal_energy_conservation():
+    # orthonormal wavelet with periodization preserves energy
+    x = rand((1, 32, 32, 1), seed=3)
+    ll, highs = W.wavedec2(x, "db2", J=2, mode="periodization")
+    e_in = float(jnp.sum(x ** 2))
+    e_out = float(jnp.sum(ll ** 2)) + sum(float(jnp.sum(h ** 2)) for h in highs)
+    assert abs(e_in - e_out) / e_in < 1e-4
+
+
+def test_editor_main_path_shapes():
+    # J=4 haar/zero on the EDITOR input size (reference: Frequency.py:13-14)
+    x = rand((2, 256, 128, 3), seed=4)
+    ll, highs = W.wavedec2(x, "haar", J=4, mode="zero")
+    assert ll.shape == (2, 16, 8, 3)
+    assert [h.shape for h in highs] == [
+        (2, 128, 64, 3, 3), (2, 64, 32, 3, 3), (2, 32, 16, 3, 3), (2, 16, 8, 3, 3)]
+    y = W.waverec2(ll, highs, "haar", "zero")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+
+def test_dwt1d_roundtrip():
+    x = rand((2, 64, 5), seed=5)
+    lo, highs = W.wavedec1(x, "db2", J=2, mode="zero")
+    y = W.waverec1(lo, highs, "db2", mode="zero")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+
+def test_odd_length_zero_mode():
+    x = rand((1, 30, 18, 2), seed=6)  # odd after one halving with db2
+    ll, highs = W.wavedec2(x, "db2", J=2, mode="zero")
+    y = W.waverec2(ll, highs, "db2", mode="zero")
+    np.testing.assert_allclose(np.asarray(y)[:, :30, :18], np.asarray(x), atol=2e-5)
