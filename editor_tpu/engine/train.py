@@ -1,0 +1,113 @@
+"""Training engine: TrainState + jit/pjit-compiled train step.
+
+reference: engine/processor.py:23-214 (``do_train``). TPU-first differences:
+  * The whole step — forward, output-tuple loss protocol (processor.py:83-92),
+    backward, optimizer — is ONE jitted function; no per-iter host sync.
+  * AMP GradScaler (processor.py:60,79) is unnecessary: bf16 compute has the
+    fp32 exponent range, so there is no loss-scaling.
+  * DDP wrap (processor.py:47-50) becomes a ('data','model') mesh: batch
+    sharded over 'data', params replicated → XLA inserts the gradient
+    all-reduce over ICI. OCFR center updates and BN batch stats are psum'd
+    across the data axis implicitly by the same mechanism (segment sums are
+    linear in the batch).
+  * State (params, momentum, OCFR centers, BN stats, PRNG, step) is one
+    pytree — checkpointable and donatable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from editor_tpu.models.editor import EditorConfig, editor_apply, editor_init
+from editor_tpu.solver.optimizer import Optimizer
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    opt_state: Any
+    model_state: dict  # {'ocfr': ..., 'bn': ...}
+    rng: Array
+    step: Array  # global step counter
+
+
+def make_train_state(key: Array, ecfg: EditorConfig,
+                     optimizer: Optimizer) -> TrainState:
+    params, model_state = editor_init(key, ecfg)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        model_state=model_state,
+        rng=jax.random.fold_in(key, 1),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_train_step(
+    ecfg: EditorConfig,
+    optimizer: Optimizer,
+    loss_func: Callable,
+    lr_fn: Callable,
+    base_lr: float,
+    compute_dtype=jnp.bfloat16,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns step(state, batch, epoch) -> (state, metrics).
+
+    batch: {'RGB','NI','TI': [B,H,W,3] f32, 'pid': [B], 'camid': [B]}.
+    epoch: 1-based (traced) — feeds the epoch-stepped cosine schedule
+    (reference: processor.py:68).
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, Array], epoch: Array):
+        rng, step_rng = jax.random.split(state.rng)
+        images = {k: batch[k].astype(compute_dtype)
+                  for k in ("RGB", "NI", "TI") if k in batch}
+        labels = batch["pid"]
+        cams = batch.get("camid")
+
+        def loss_of(params):
+            out, new_mstate = editor_apply(
+                params, state.model_state, ecfg, images, labels=labels,
+                cam_ids=cams, training=True, rng=step_rng)
+            # output-tuple protocol (processor.py:83-92): every (score, feat)
+            # pair through loss_func, plus the trailing aux loss
+            total = jnp.asarray(0.0, jnp.float32)
+            for score, feat in out.pairs:
+                total = total + loss_func(score, feat, labels)
+            total = total + out.aux_loss
+            acc = jnp.mean((jnp.argmax(out.pairs[0][0], axis=1)
+                            == labels).astype(jnp.float32))
+            return total, (new_mstate, acc)
+
+        (loss, (new_mstate, acc)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        lr = lr_fn(epoch, base_lr)
+        new_params, new_opt = optimizer.update(grads, state.opt_state,
+                                              state.params, lr)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               model_state=new_mstate, rng=rng,
+                               step=state.step + 1)
+        metrics = {"loss": loss, "acc": acc, "lr": lr}
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

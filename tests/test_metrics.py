@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from editor_tpu.evals import R1mAPEvaluator, cmc_map, euclidean_distmat
+from editor_tpu.evals.reranking import k_reciprocal_rerank
+
+
+def naive_eval(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
+    """Independent per-query loop implementing the market1501 protocol
+    (spec: utils/metrics.py:132-191) for cross-checking the vectorized path."""
+    num_q, num_g = distmat.shape
+    max_rank = min(max_rank, num_g)
+    indices = np.argsort(distmat, axis=1)
+    all_cmc, all_ap = [], []
+    for qi in range(num_q):
+        order = indices[qi]
+        remove = (g_pids[order] == q_pids[qi]) & (g_camids[order] == q_camids[qi])
+        keep = ~remove
+        matches = (g_pids[order] == q_pids[qi]).astype(np.int32)[keep]
+        if not matches.any():
+            continue
+        cmc = matches.cumsum()
+        cmc[cmc > 1] = 1
+        all_cmc.append(cmc[:max_rank])
+        num_rel = matches.sum()
+        tmp = matches.cumsum() / np.arange(1, matches.size + 1)
+        all_ap.append((tmp * matches).sum() / num_rel)
+    cmc = np.asarray(all_cmc, dtype=np.float32).sum(0) / len(all_cmc)
+    return cmc, float(np.mean(all_ap))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cmc_map_matches_naive(seed):
+    rng = np.random.RandomState(seed)
+    Q, G = 20, 80
+    distmat = rng.rand(Q, G).astype(np.float32)
+    q_pids = rng.randint(0, 10, Q)
+    g_pids = rng.randint(0, 10, G)
+    q_camids = rng.randint(0, 4, Q)
+    g_camids = rng.randint(0, 4, G)
+    cmc, mAP = cmc_map(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=20)
+    cmc_ref, map_ref = naive_eval(distmat, q_pids, g_pids, q_camids,
+                                  g_camids, max_rank=20)
+    np.testing.assert_allclose(cmc, cmc_ref, atol=1e-5)
+    assert abs(mAP - map_ref) < 1e-5
+
+
+def test_perfect_retrieval():
+    # gallery identical to query: rank-1 = 100%, mAP = 100%
+    rng = np.random.RandomState(3)
+    feats = rng.randn(10, 16).astype(np.float32)
+    distmat = np.asarray(euclidean_distmat(feats, feats))
+    # protocol discards same (pid, camid): give gallery a different camid
+    pids = np.arange(10)
+    cmc, mAP = cmc_map(distmat, pids, pids, np.zeros(10), np.ones(10))
+    assert cmc[0] == 1.0 and abs(mAP - 1.0) < 1e-6
+
+
+def test_evaluator_end_to_end():
+    rng = np.random.RandomState(4)
+    # 5 ids, clusterable features
+    centers = rng.randn(5, 32) * 10
+    q = centers + 0.1 * rng.randn(5, 32)
+    g = np.concatenate([centers + 0.1 * rng.randn(5, 32) for _ in range(3)])
+    ev = R1mAPEvaluator(num_query=5)
+    ev.update(np.concatenate([q, g]).astype(np.float32),
+              np.concatenate([np.arange(5)] * 4),
+              np.concatenate([np.zeros(5), np.ones(15)]))
+    cmc, mAP, *_ = ev.compute()
+    assert cmc[0] == 1.0
+    assert mAP > 0.99
+
+
+def test_reranking_improves_or_preserves_easy_case():
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 16) * 5
+    q = centers + 0.3 * rng.randn(4, 16)
+    g = np.concatenate([centers + 0.3 * rng.randn(4, 16) for _ in range(5)])
+    d = k_reciprocal_rerank(q.astype(np.float32), g.astype(np.float32),
+                            k1=6, k2=3, lambda_value=0.3)
+    assert d.shape == (4, 20)
+    g_pids = np.tile(np.arange(4), 5)
+    # nearest neighbor after re-ranking is the right identity
+    nn = g_pids[np.argmin(d, axis=1)]
+    np.testing.assert_array_equal(nn, np.arange(4))
+
+
+def test_msvr_protocol():
+    from editor_tpu.evals import cmc_map_msvr
+    rng = np.random.RandomState(6)
+    Q, G = 10, 40
+    distmat = rng.rand(Q, G).astype(np.float32)
+    q_pids = rng.randint(0, 5, Q)
+    g_pids = rng.randint(0, 5, G)
+    cams_q = rng.randint(0, 3, Q)
+    cams_g = rng.randint(0, 3, G)
+    sc_q = rng.randint(0, 4, Q)
+    sc_g = rng.randint(0, 4, G)
+    cmc, mAP = cmc_map_msvr(distmat, q_pids, g_pids, cams_q, cams_g, sc_q, sc_g)
+    assert 0 <= mAP <= 1 and cmc.shape[0] == 40

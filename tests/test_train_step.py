@@ -1,0 +1,118 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from editor_tpu.config import Config
+from editor_tpu.engine import build_train_step, make_train_state
+from editor_tpu.losses import make_loss
+from editor_tpu.models import EditorConfig, ViTConfig
+from editor_tpu.parallel import make_mesh, shard_batch
+from editor_tpu.solver import make_optimizer, make_scheduler
+from editor_tpu.solver.schedule import cosine_lr_schedule
+
+
+def tiny_setup(al=False, batch=8):
+    vit = ViTConfig(img_size=(64, 32), patch_size=16, stride_size=(16, 16),
+                    embed_dim=96, depth=2, num_heads=4, mlp_ratio=2.0,
+                    camera=4, drop_path_rate=0.0)
+    ecfg = EditorConfig(num_classes=4, vit=vit, head_keep=2, frequency_keep=3,
+                        al=al, use_pallas=False)
+    cfg = Config()
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "RGB": jnp.asarray(rng.randn(batch, 64, 32, 3), jnp.float32),
+        "NI": jnp.asarray(rng.randn(batch, 64, 32, 3), jnp.float32),
+        "TI": jnp.asarray(rng.randn(batch, 64, 32, 3), jnp.float32),
+        "pid": jnp.asarray(np.repeat(np.arange(4), batch // 4)),
+        "camid": jnp.zeros((batch,), jnp.int32),
+    }
+    return cfg, ecfg, batch_data
+
+
+@pytest.mark.parametrize("al", [False, True])
+def test_train_step_decreases_loss(al):
+    cfg, ecfg, batch = tiny_setup(al=al)
+    from editor_tpu.models import editor_init  # noqa
+    loss_func = make_loss(cfg, ecfg.num_classes)
+    lr_fn = make_scheduler(cfg)
+    params0 = None
+    opt = None
+    from editor_tpu.models.editor import editor_init as ei
+    p, _ = ei(jax.random.PRNGKey(0), ecfg)
+    opt = make_optimizer(cfg, p)
+    state = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step = build_train_step(ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
+                            compute_dtype=jnp.float32, donate=False)
+    losses = []
+    epoch = jnp.asarray(15)  # past warmup: full base lr
+    for _ in range(5):
+        state, metrics = step(state, batch, epoch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_schedule_matches_timm_semantics():
+    # spot values: warmup ramp then cosine (cosine_lr.py:67-94 with the
+    # factory args from scheduler_factory.py:15-29)
+    base, epochs, warm = 0.008, 60, 10
+    lr0 = float(cosine_lr_schedule(0, base, epochs, 0.001 * base, warm, 0.01 * base))
+    assert abs(lr0 - 0.01 * base) < 1e-9
+    lr_mid_warm = float(cosine_lr_schedule(5, base, epochs, 0.001 * base, warm,
+                                           0.01 * base))
+    expected = 0.01 * base + 5 * (base - 0.01 * base) / warm
+    assert abs(lr_mid_warm - expected) < 1e-9
+    lr_at_T = float(cosine_lr_schedule(60, base, epochs, 0.001 * base, warm,
+                                       0.01 * base))
+    assert abs(lr_at_T - 0.001 * base) < 1e-9  # past cycle_limit → lr_min
+    lr_30 = float(cosine_lr_schedule(30, base, epochs, 0.001 * base, warm,
+                                     0.01 * base))
+    import math
+    exp30 = 0.001 * base + 0.5 * (base - 0.001 * base) * (1 + math.cos(math.pi * 30 / 60))
+    assert abs(lr_30 - exp30) < 1e-9
+
+
+def test_optimizer_group_labels():
+    from editor_tpu.models.editor import editor_init
+    from editor_tpu.solver import param_group_labels
+    _, ecfg, _ = tiny_setup()[0], tiny_setup()[1], None
+    cfg, ecfg, _ = tiny_setup()
+    p, _ = editor_init(jax.random.PRNGKey(0), ecfg)
+    labels = param_group_labels(p)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    lbls = {jax.tree_util.keystr(k): v for k, v in flat}
+    assert lbls["['BACKBONE']['fc']['w']"] == "frozen"
+    assert lbls["['BACKBONE']['fc']['b']"] == "frozen"
+    assert lbls["['RGB_REDUCE']['b']"] == "bias"
+    assert lbls["['RGB_REDUCE']['w']"] == "default"
+    assert lbls["['BACKBONE']['cls_token']"] == "default"
+
+
+def test_data_parallel_8dev_matches_single_device():
+    """DP over the virtual 8-CPU mesh == single-device step (same numerics)."""
+    cfg, ecfg, batch = tiny_setup(batch=8)
+    loss_func = make_loss(cfg, ecfg.num_classes)
+    lr_fn = make_scheduler(cfg)
+    from editor_tpu.models.editor import editor_init
+    p, _ = editor_init(jax.random.PRNGKey(0), ecfg)
+    opt = make_optimizer(cfg, p)
+
+    state1 = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step1 = build_train_step(ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
+                             compute_dtype=jnp.float32, donate=False)
+    state1, m1 = step1(state1, batch, jnp.asarray(1))
+
+    mesh = make_mesh(data=8, model=1)
+    state2 = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step8 = build_train_step(ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
+                             compute_dtype=jnp.float32, mesh=mesh, donate=False)
+    sharded = shard_batch(mesh, batch)
+    state2, m2 = step8(state2, sharded, jnp.asarray(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
