@@ -71,4 +71,5 @@ def frequency_token_select(
     gray = jnp.mean(inv, axis=-1)  # channel mean (Frequency.py:44)
     counts = window_positive_counts(gray, window, stride)
     B = counts.shape[0]
-    return topk_bool_mask(counts.reshape(B, -1).astype(jnp.float32), keep)
+    flat = counts.reshape(B, -1).astype(jnp.float32)
+    return topk_bool_mask(flat, min(keep, flat.shape[-1]))

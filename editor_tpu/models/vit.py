@@ -169,23 +169,23 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
     H, D = cfg.num_heads, cfg.head_dim
     qkv = linear(p["qkv"], x).reshape(B, N, 3, H, D)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
-    q = q.transpose(0, 2, 1, 3)  # [B,H,N,D]
-    k = k.transpose(0, 2, 1, 3)
-    v = v.transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+    # einsum straight from [B,N,H,D] — no explicit head transposes; XLA picks
+    # the layout, saving 3 materialized [B,H,N,D] copies per layer
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * cfg.scale
     attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if training and cfg.attn_drop_rate > 0 and rng is not None:
         rng, sub = jax.random.split(rng)
         attn = dropout(sub, attn, cfg.attn_drop_rate, training)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(x.dtype), v,
+    attn_c = attn.astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn_c, v,
                      preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, N, C)
+    out = out.astype(x.dtype).reshape(B, N, C)
     out = linear(p["proj"], out)
     if training and cfg.drop_rate > 0 and rng is not None:
         _, sub = jax.random.split(rng)
         out = dropout(sub, out, cfg.drop_rate, training)
-    return out, attn
+    return out, attn_c
 
 
 def _mlp(p: dict, x: Array, training: bool, rate: float,
@@ -220,7 +220,8 @@ def vit_apply(
     view_id: Optional[Array] = None,
     training: bool = False,
     rng: Optional[Array] = None,
-) -> Tuple[Array, Array]:
+    collect_rollout: bool = True,
+) -> Tuple[Array, Optional[Array]]:
     """Forward pass.
 
     Args:
@@ -263,8 +264,7 @@ def vit_apply(
         layer_rngs = jnp.zeros((cfg.depth, 2), dtype=jnp.uint32)
     have_rng = rng is not None
 
-    def body(carry, inp):
-        xs, prod = carry
+    def body(xs, inp):
         bp, rate, lrng = inp
         r1 = r2 = r3 = None
         if have_rng:
@@ -275,15 +275,27 @@ def vit_apply(
         xs = xs + _drop_path_scan(
             r2, _mlp(bp["mlp"], layernorm(bp["norm2"], xs, cfg.ln_eps),
                      training, cfg.drop_rate, r3), rate, training)
-        # cumulative rollout product in fp32 (Part_Attention chain-matmul)
-        prod = jnp.einsum("bhnm,bhmk->bhnk", attn, prod,
-                          preferred_element_type=jnp.float32)
-        return (xs, prod), None
+        return xs, (attn if collect_rollout else None)
 
-    eye = jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32),
-                           (B, cfg.num_heads, N, N))
-    (tokens, prod), _ = jax.lax.scan(
-        body, (tokens, eye), (params["blocks"], dpr, layer_rngs))
+    tokens, attn_maps = jax.lax.scan(
+        body, tokens, (params["blocks"], dpr, layer_rngs))
     tokens = layernorm(params["norm"], tokens, cfg.ln_eps)
-    rollout_cls = prod[:, :, 0, 1:]
+    if not collect_rollout:
+        return tokens, None
+
+    # Attention rollout: Part_Attention needs only the cls ROW of the full
+    # chain product P = A_L @ ... @ A_1 (SFTS.py:150-153). row0(P) =
+    # e0ᵀ A_L A_{L-1} ... A_1, so instead of carrying the [N,N] product (an
+    # O(N³) matmul per layer) we run a reverse VECTOR chain over the stacked
+    # maps (stored in compute dtype) — O(N²) per layer, fp32 accumulation,
+    # stop_gradient'd (the rollout only feeds a discrete top-k, no gradient).
+    attn_maps = jax.lax.stop_gradient(attn_maps)  # [L, B, H, N, N]
+
+    def roll_body(v, a):
+        return jnp.einsum("bhn,bhnm->bhm", v, a,
+                          preferred_element_type=jnp.float32), None
+
+    v0 = attn_maps[-1][:, :, 0, :].astype(jnp.float32)  # cls row, last layer
+    v, _ = jax.lax.scan(roll_body, v0, attn_maps[:-1], reverse=True)
+    rollout_cls = v[:, :, 1:]
     return tokens, rollout_cls

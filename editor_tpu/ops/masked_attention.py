@@ -47,7 +47,7 @@ def _pallas_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, mask_fill):
     q = q_ref[0].astype(jnp.float32)  # [N, D]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0]
-    m = mask_ref[0].astype(jnp.float32)  # [N]
+    m = mask_ref[0, 0].astype(jnp.float32)  # [N]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -81,7 +81,9 @@ def _pallas_masked_attention(q: Array, k: Array, v: Array, mask: Array,
     qf = q.reshape(B * H, Np, D)
     kf = k.reshape(B * H, Np, D)
     vf = v.reshape(B * H, Np, D)
-    mf = jnp.repeat(mask, H, axis=0)  # [B*H, Np] (mask per batch, repeat heads)
+    # [B*H, 1, Np]: the unit middle dim keeps the trailing-2D block equal to
+    # the array dims, satisfying Mosaic's (8,128) tiling rule for 1-row blocks
+    mf = jnp.repeat(mask, H, axis=0)[:, None, :]
 
     kernel = functools.partial(_pallas_kernel, scale=scale, mask_fill=mask_fill)
     out = pl.pallas_call(
@@ -92,7 +94,7 @@ def _pallas_masked_attention(q: Array, k: Array, v: Array, mask: Array,
             pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Np), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, Np), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
         interpret=interpret,
