@@ -1,0 +1,46 @@
+"""Training entry point (reference: train_net.py:16-89).
+
+Usage:
+    python -m editor_tpu.cli.train --config_file configs/RGBNT201.yaml \
+        SOLVER.BASE_LR 0.001 MODEL.AL 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+
+def set_seed(seed: int):
+    # reference: train_net.py:16-23; device-side determinism comes from the
+    # PRNG keys in the train state, this covers host-side sampling
+    random.seed(seed)
+    np.random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="editor_tpu training")
+    parser.add_argument("--config_file", default="", type=str)
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="KEY VALUE config overrides")
+    args = parser.parse_args(argv)
+
+    from editor_tpu.config import load_config
+    cfg = load_config(args.config_file or None, args.opts or None)
+    set_seed(cfg.SOLVER.SEED)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+
+    from editor_tpu.engine.loop import do_train
+    result = do_train(cfg)
+    print("Best:", result["best"])
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Identity-balanced P×K batch sampling.
+
+reference: data/datasets/sampler.py:7-66 (RandomIdentitySampler) and
+sampler_ddp.py:64-197 (the DDP variant that gloo-all_gathers a pickled shared
+seed and slices per-rank blocks).
+
+TPU-native re-design: a *deterministic* host-side index generator seeded by
+(seed, epoch). Multi-host data parallelism needs no pickle collectives — every
+host computes the identical global permutation from the same seed (the
+reference's shared_random_seed trick collapses to `fold_in(seed, epoch)`) and
+slices its contiguous per-host block (sampler_ddp.py:159-168 equivalent).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+class PKSampler:
+    """Yields epochs of indices grouped as P ids × K instances per batch."""
+
+    def __init__(self, items: Sequence, batch_size: int, num_instances: int,
+                 seed: int = 0):
+        if batch_size % num_instances != 0:
+            raise ValueError("batch_size must be divisible by num_instances")
+        self.batch_size = batch_size
+        self.num_instances = num_instances
+        self.num_pids_per_batch = batch_size // num_instances
+        self.seed = seed
+        self.index_by_pid: Dict[int, List[int]] = defaultdict(list)
+        for idx, item in enumerate(items):
+            self.index_by_pid[item[1]].append(idx)
+        self.pids = sorted(self.index_by_pid)
+        # epoch length estimate (reference: sampler.py:28-35)
+        self.length = 0
+        for pid in self.pids:
+            num = max(len(self.index_by_pid[pid]), num_instances)
+            self.length += num - num % num_instances
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        """Full-epoch index array, length a multiple of batch_size.
+
+        Mirrors the reference algorithm (sampler.py:37-62): per-pid shuffled
+        chunks of K, then batches assembled from P random available pids.
+        """
+        rng = np.random.RandomState((self.seed * 1_000_003 + epoch) % (2**31))
+        chunks: Dict[int, List[np.ndarray]] = {}
+        for pid in self.pids:
+            idxs = np.asarray(self.index_by_pid[pid])
+            if len(idxs) < self.num_instances:
+                idxs = rng.choice(idxs, size=self.num_instances, replace=True)
+            rng.shuffle(idxs)
+            n_full = len(idxs) // self.num_instances
+            chunks[pid] = [
+                idxs[i * self.num_instances:(i + 1) * self.num_instances]
+                for i in range(n_full)
+            ]
+        avail = [pid for pid in self.pids if chunks[pid]]
+        out: List[np.ndarray] = []
+        while len(avail) >= self.num_pids_per_batch:
+            sel = rng.choice(len(avail), self.num_pids_per_batch, replace=False)
+            selected = [avail[i] for i in sel]
+            for pid in selected:
+                out.append(chunks[pid].pop(0))
+                if not chunks[pid]:
+                    avail.remove(pid)
+        if not out:
+            return np.empty((0,), dtype=np.int64)
+        return np.concatenate(out).astype(np.int64)
+
+    def host_shard(self, epoch: int, host_id: int, num_hosts: int) -> np.ndarray:
+        """Per-host contiguous block slice of each global batch (the DDP
+        sampler's mini-batch split, sampler_ddp.py:159-168 /
+        make_dataloader.py:272-282)."""
+        full = self.epoch_indices(epoch)
+        n_batches = len(full) // self.batch_size
+        per_host = self.batch_size // num_hosts
+        out = []
+        for b in range(n_batches):
+            base = b * self.batch_size + host_id * per_host
+            out.append(full[base: base + per_host])
+        if not out:
+            return np.empty((0,), dtype=np.int64)
+        return np.concatenate(out)
+
+
+class SoftmaxSampler:
+    """Plain shuffled sampling for SAMPLER='softmax' mode."""
+
+    def __init__(self, num_items: int, batch_size: int, seed: int = 0):
+        self.num_items = num_items
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.RandomState((self.seed * 1_000_003 + epoch) % (2**31))
+        idx = rng.permutation(self.num_items)
+        n = (len(idx) // self.batch_size) * self.batch_size
+        return idx[:n].astype(np.int64)

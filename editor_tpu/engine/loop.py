@@ -1,0 +1,162 @@
+"""Full training loop orchestration (``do_train`` equivalent).
+
+reference: engine/processor.py:23-214. Differences (TPU-first):
+  * step = one jitted call with in-step augmentation; host only reads metrics
+    every LOG_PERIOD (no per-iter device sync);
+  * eval pads the tail batch to a static shape, trimmed before the evaluator;
+  * checkpoints are full train state (exact resume) + best-mAP snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from editor_tpu.data.loader import ReIDDataModule
+from editor_tpu.data.transforms import make_eval_transform, make_train_augment
+from editor_tpu.engine.evaluate import build_eval_step
+from editor_tpu.engine.train import TrainState, build_train_step, make_train_state
+from editor_tpu.evals.metrics import R1mAPEvaluator
+from editor_tpu.losses import make_loss
+from editor_tpu.models.editor import EditorConfig, editor_config_from, editor_init
+from editor_tpu.parallel.mesh import make_mesh, shard_batch
+from editor_tpu.solver import make_optimizer, make_scheduler
+from editor_tpu.utils.logger import MetricWriter, setup_logger
+from editor_tpu.utils.meter import AverageMeter
+
+
+def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
+             mesh=None, compute_dtype=jnp.bfloat16):
+    """Feature-extraction eval pass → (cmc, mAP)."""
+    eval_step = build_eval_step(ecfg, compute_dtype, mesh)
+    transform = make_eval_transform(cfg.INPUT)
+    evaluator = R1mAPEvaluator(
+        dm.num_query,
+        feat_norm=cfg.TEST.FEAT_NORM == "yes",
+        reranking=cfg.TEST.RE_RANKING == "yes",
+        msvr_protocol=dm.splits.has_sceneid,
+    )
+    total = len(dm.val_items)
+    seen = 0
+    for batch in dm.val_batches():
+        imgs = {k: transform(jnp.asarray(batch[k]))
+                for k in ("RGB", "NI", "TI") if k in batch}
+        feed = dict(imgs, camid=jnp.asarray(batch["camid"]))
+        if mesh is not None:
+            feed = shard_batch(mesh, feed)
+        feat = np.asarray(eval_step(state.params, state.model_state, feed))
+        take = min(len(feat), total - seen)  # trim static-shape padding
+        evaluator.update(feat[:take], batch["pid"][:take],
+                         batch["camid"][:take],
+                         batch.get("sceneid", [None] * len(feat))[:take]
+                         if "sceneid" in batch else None)
+        seen += take
+    cmc, mAP, *_ = evaluator.compute()
+    return cmc, mAP
+
+
+def do_train(cfg, dm: Optional[ReIDDataModule] = None,
+             mesh=None, decode_fn=None,
+             max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
+    """Train EDITOR per the config; returns {'state', 'best', 'ecfg'}."""
+    logger = setup_logger("editor_tpu.train", cfg.OUTPUT_DIR, "train_log.txt")
+    writer = MetricWriter(cfg.OUTPUT_DIR)
+    dm = dm or ReIDDataModule(cfg, decode_fn=decode_fn)
+    ecfg = editor_config_from(cfg, dm.num_classes, dm.cam_num)
+    compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+
+    if mesh is None and (cfg.TPU.MESH_DATA != 1 or cfg.TPU.MESH_MODEL != 1):
+        try:
+            mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL)
+        except ValueError:
+            mesh = None  # single device
+
+    loss_func = make_loss(cfg, dm.num_classes)
+    lr_fn = make_scheduler(cfg)
+    key = jax.random.PRNGKey(cfg.SOLVER.SEED)
+    params, _ = editor_init(key, ecfg)
+    if cfg.MODEL.PRETRAIN_CHOICE == "imagenet" and os.path.exists(
+            cfg.MODEL.PRETRAIN_PATH_T):
+        from editor_tpu.utils.torch_convert import load_imagenet_vit
+        params["BACKBONE"] = load_imagenet_vit(
+            cfg.MODEL.PRETRAIN_PATH_T, ecfg.vit, params["BACKBONE"])
+        logger.info("Loaded ImageNet backbone from %s", cfg.MODEL.PRETRAIN_PATH_T)
+    opt = make_optimizer(cfg, params)
+    state = make_train_state(key, ecfg, opt)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       model_state=state.model_state, rng=state.rng,
+                       step=state.step)
+
+    augment = make_train_augment(cfg.INPUT)
+    step = build_train_step(ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
+                            compute_dtype=compute_dtype, mesh=mesh,
+                            donate=cfg.TPU.DONATE, augment=augment)
+
+    ckpt_mgr = None
+    if cfg.OUTPUT_DIR:
+        from editor_tpu.utils.checkpoint import CheckpointManager
+        ckpt_mgr = CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "ckpt"),
+                                     use_async=cfg.TPU.ASYNC_CHECKPOINT)
+
+    loss_meter, acc_meter = AverageMeter(), AverageMeter()
+    best = {"mAP": 0.0, "Rank-1": 0.0, "Rank-5": 0.0, "Rank-10": 0.0}
+    log_period = cfg.SOLVER.LOG_PERIOD
+
+    for epoch in range(1, cfg.SOLVER.MAX_EPOCHS + 1):
+        t0 = time.time()
+        loss_meter.reset()
+        acc_meter.reset()
+        epoch_arr = jnp.asarray(epoch)
+        n_iter = 0
+        for batch in dm.train_epoch(epoch):
+            feed = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                feed = shard_batch(mesh, feed)
+            state, metrics = step(state, feed, epoch_arr)
+            n_iter += 1
+            if n_iter % log_period == 0:
+                loss = float(metrics["loss"])
+                acc = float(metrics["acc"])
+                loss_meter.update(loss, batch["pid"].shape[0])
+                acc_meter.update(acc)
+                logger.info(
+                    "Epoch[%d] Iteration[%d] Loss: %.3f, Acc: %.3f, Base Lr: %.2e",
+                    epoch, n_iter, loss_meter.avg, acc_meter.avg,
+                    float(metrics["lr"]))
+                writer.write({"epoch": epoch, "iter": n_iter, "loss": loss,
+                              "acc": acc, "lr": float(metrics["lr"])})
+            if max_steps_per_epoch and n_iter >= max_steps_per_epoch:
+                break
+        dt = time.time() - t0
+        if n_iter:
+            logger.info("Epoch %d done. %.1f samples/s", epoch,
+                        n_iter * cfg.SOLVER.IMS_PER_BATCH / dt)
+
+        if ckpt_mgr and epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            ckpt_mgr.save(int(state.step), jax.device_get(state))
+
+        if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and dm.num_query > 0:
+            cmc, mAP = evaluate(cfg, ecfg, state, dm, mesh, compute_dtype)
+            logger.info("Validation Results - Epoch: %d", epoch)
+            logger.info("mAP: %.2f%%", mAP * 100)
+            for r in (1, 5, 10):
+                if len(cmc) >= r:
+                    logger.info("CMC curve, Rank-%d: %.2f%%", r, cmc[r - 1] * 100)
+            writer.write({"epoch": epoch, "mAP": mAP, "rank1": float(cmc[0])})
+            if mAP >= best["mAP"]:
+                best = {"mAP": mAP, "Rank-1": float(cmc[0]),
+                        "Rank-5": float(cmc[4]) if len(cmc) > 4 else 0.0,
+                        "Rank-10": float(cmc[9]) if len(cmc) > 9 else 0.0}
+                if ckpt_mgr:
+                    ckpt_mgr.save(int(state.step), jax.device_get(state),
+                                  force=True)
+            logger.info("Best mAP so far: %.2f%%", best["mAP"] * 100)
+
+    if ckpt_mgr:
+        ckpt_mgr.wait()
+    return {"state": state, "best": best, "ecfg": ecfg}

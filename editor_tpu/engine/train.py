@@ -61,18 +61,30 @@ def build_train_step(
     compute_dtype=jnp.bfloat16,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    augment: Optional[Callable] = None,
 ) -> Callable:
     """Returns step(state, batch, epoch) -> (state, metrics).
 
-    batch: {'RGB','NI','TI': [B,H,W,3] f32, 'pid': [B], 'camid': [B]}.
+    batch: {'RGB','NI','TI': [B,H,W,3] f32 or uint8, 'pid': [B], 'camid': [B]}.
     epoch: 1-based (traced) — feeds the epoch-stepped cosine schedule
-    (reference: processor.py:68).
+    (reference: processor.py:68). When ``augment`` is given (see
+    data/transforms.make_train_augment) it runs INSIDE the jitted step with a
+    distinct PRNG key per modality (independent per-modality augmentation,
+    reference bases.py:89-107).
     """
 
     def step_fn(state: TrainState, batch: Dict[str, Array], epoch: Array):
         rng, step_rng = jax.random.split(state.rng)
-        images = {k: batch[k].astype(compute_dtype)
-                  for k in ("RGB", "NI", "TI") if k in batch}
+        if augment is not None:
+            aug_rng = jax.random.fold_in(state.rng, 7)
+            images = {}
+            for i, k in enumerate(("RGB", "NI", "TI")):
+                if k in batch:
+                    images[k] = augment(jax.random.fold_in(aug_rng, i),
+                                        batch[k]).astype(compute_dtype)
+        else:
+            images = {k: batch[k].astype(compute_dtype)
+                      for k in ("RGB", "NI", "TI") if k in batch}
         labels = batch["pid"]
         cams = batch.get("camid")
 

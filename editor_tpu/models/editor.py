@@ -28,12 +28,19 @@ from editor_tpu.models.vit import ViTConfig
 
 Array = jax.Array
 
+def _vit_tiny_test_config(**kw):
+    """Tiny backbone for CPU tests / dry runs (not in the reference zoo)."""
+    return ViTConfig(embed_dim=96, depth=2, num_heads=4, mlp_ratio=2.0,
+                     qkv_bias=True, **kw)
+
+
 VIT_FACTORY = {
     # reference factory __factory_T_type (make_model.py:363-368)
     "vit_base_patch16_224": vit_mod.vit_base_config,
     "deit_base_patch16_224": vit_mod.vit_base_config,
     "vit_small_patch16_224": vit_mod.vit_small_config,
     "deit_small_patch16_224": vit_mod.deit_small_config,
+    "vit_tiny_test": _vit_tiny_test_config,
 }
 
 

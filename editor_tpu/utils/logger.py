@@ -1,0 +1,55 @@
+"""Logging setup: stream + file handlers + JSONL metric writer.
+
+reference: utils/logger.py:7-28 (setup_logger). The metric writer replaces
+the reference's TensorBoard SummaryWriter with hardcoded path
+(engine/processor.py:42) by a structured JSONL stream under OUTPUT_DIR
+(SURVEY.md §5.5) — TensorBoard-importable and grep-able.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+def setup_logger(name: str, save_dir: Optional[str], filename: str,
+                 distributed_rank: int = 0) -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    logger.propagate = False
+    if distributed_rank > 0:
+        return logger
+    if not logger.handlers:
+        fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+        sh = logging.StreamHandler(stream=sys.stdout)
+        sh.setLevel(logging.DEBUG)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(save_dir, filename))
+            fh.setLevel(logging.DEBUG)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger
+
+
+class MetricWriter:
+    """Append-only JSONL metrics (one record per call)."""
+
+    def __init__(self, save_dir: Optional[str], filename: str = "metrics.jsonl"):
+        self.path = None
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            self.path = os.path.join(save_dir, filename)
+
+    def write(self, record: Dict[str, Any]):
+        if self.path is None:
+            return
+        record = dict(record, ts=time.time())
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")

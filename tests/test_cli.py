@@ -1,0 +1,90 @@
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _save(path, w=32, h=64, seed=0):
+    os.makedirs(osp.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+
+@pytest.fixture(scope="module")
+def tiny_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clidata"))
+    base = osp.join(root, "RGBNT201")
+    # structured per-identity content so retrieval is learnable
+    protos = {pid: np.random.RandomState(100 + pid).randint(0, 255, (64, 32, 3))
+              for pid in range(4)}
+    idx = 0
+    for split, n in (("train_171", 16), ("test", 8)):
+        for i in range(n):
+            pid, cam = i % 4, (i // 4) % 2 + 1  # each pid seen from 2 cameras
+            name = f"{pid:06d}_cam{cam}_{idx}.jpg"
+            noisy = np.clip(protos[pid] + np.random.RandomState(idx).randint(
+                -20, 20, (64, 32, 3)), 0, 255).astype(np.uint8)
+            for mod in ("RGB", "NI", "TI"):
+                p = osp.join(base, split, mod, name)
+                os.makedirs(osp.dirname(p), exist_ok=True)
+                Image.fromarray(noisy).save(p)
+            idx += 1
+    return root
+
+
+def test_cli_train_end_to_end(tiny_root, tmp_path):
+    from editor_tpu.cli.train import main
+    out = str(tmp_path / "out")
+    result = main([
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.PRETRAIN_CHOICE", "random",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "INPUT.SIZE_TEST", "[64, 32]",
+        "DATASETS.NAMES", "RGBNT201",
+        "DATASETS.ROOT_DIR", tiny_root,
+        "DATALOADER.NUM_INSTANCE", "2",
+        "DATALOADER.NUM_WORKERS", "2",
+        "SOLVER.IMS_PER_BATCH", "8",
+        "SOLVER.MAX_EPOCHS", "2",
+        "SOLVER.EVAL_PERIOD", "2",
+        "SOLVER.CHECKPOINT_PERIOD", "2",
+        "SOLVER.LOG_PERIOD", "1",
+        "SOLVER.SEED", "7",
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TPU.MESH_DATA", "1",
+        "OUTPUT_DIR", out,
+    ])
+    assert 0.0 <= result["best"]["mAP"] <= 1.0
+    assert os.path.exists(os.path.join(out, "train_log.txt"))
+    assert os.path.exists(os.path.join(out, "config.yaml"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    # full-state checkpoint written
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
+def test_cli_params():
+    from editor_tpu.cli.params import main
+    n = main(["MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+              "INPUT.SIZE_TRAIN", "[64, 32]"])
+    assert n > 0
+
+
+def test_cli_test_random_weights(tiny_root, tmp_path):
+    from editor_tpu.cli.test import main
+    cmc, mAP = main([
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "INPUT.SIZE_TEST", "[64, 32]",
+        "DATASETS.NAMES", "RGBNT201",
+        "DATASETS.ROOT_DIR", tiny_root,
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TEST.IMS_PER_BATCH", "8",
+        "OUTPUT_DIR", str(tmp_path / "out2"),
+    ])
+    assert 0.0 <= mAP <= 1.0
