@@ -62,6 +62,7 @@ def build_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     augment: Optional[Callable] = None,
+    state_shardings: Optional[Any] = None,
 ) -> Callable:
     """Returns step(state, batch, epoch) -> (state, metrics).
 
@@ -116,10 +117,33 @@ def build_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        if state_shardings is None:
+            state_in = repl
+        else:
+            state_in = state_shardings
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_in, data, repl),
+            out_shardings=(state_in, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def zero1_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """TrainState sharding pytree with ZeRO-1 partitioned optimizer state
+    (params/model-state replicated). Pass as build_train_step's
+    ``state_shardings`` and device_put the initial state with it."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from editor_tpu.parallel.zero import zero1_shardings
+
+    repl = NamedSharding(mesh, P())
+    repl_of = lambda tree: jax.tree_util.tree_map(lambda _: repl, tree)
+    return TrainState(
+        params=repl_of(state.params),
+        opt_state=zero1_shardings(state.opt_state, mesh),
+        model_state=repl_of(state.model_state),
+        rng=repl,
+        step=repl,
+    )

@@ -4,3 +4,14 @@ from editor_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from editor_tpu.parallel.collectives import (  # noqa: F401
+    all_gather,
+    all_reduce,
+    all_to_all,
+    barrier,
+    broadcast,
+    ppermute_shift,
+    reduce_scatter,
+)
+from editor_tpu.parallel.compression import Reducer, make_reducer  # noqa: F401
+from editor_tpu.parallel.zero import shard_opt_state, zero1_shardings  # noqa: F401

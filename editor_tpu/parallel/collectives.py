@@ -1,0 +1,84 @@
+"""Collective primitives over the device mesh.
+
+TPU-native equivalent of the c10d collective API
+(reference: distributed/distributed_c10d.py:1130-2805). Key differences by
+design:
+  * Collectives are *compiled operations inside jit/shard_map*, not eager
+    process-group calls — XLA schedules them on ICI and overlaps with compute.
+  * They are differentiable (psum's VJP is psum), which subsumes the
+    reference's autograd-aware wrappers (distributed/nn/functional.py:135-252).
+  * Shape/dtype consistency across ranks is a *static* property of the
+    shard_map signature — the debug-mode ProcessGroupWrapper collective
+    checker (distributed_c10d.py:2806-2822) is unnecessary at runtime.
+  * Object collectives (pickle→tensor, :1519-1940) are host-side concerns;
+    see editor_tpu/parallel/multihost.py broadcast_host_value.
+
+These wrappers exist to give the c10d surface a named, documented home; use
+them inside ``shard_map`` bodies (axis names from the surrounding mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+AxisName = Union[str, Sequence[str]]
+
+
+def all_reduce(x: Array, axis_name: AxisName = "data", op: str = "sum") -> Array:
+    """c10d all_reduce (distributed_c10d.py:1226)."""
+    if op == "sum":
+        return lax.psum(x, axis_name)
+    if op in ("mean", "avg"):
+        return lax.pmean(x, axis_name)
+    if op == "max":
+        return lax.pmax(x, axis_name)
+    if op == "min":
+        return lax.pmin(x, axis_name)
+    raise ValueError(f"unsupported reduce op '{op}'")
+
+
+def all_gather(x: Array, axis_name: AxisName = "data", axis: int = 0,
+               tiled: bool = True) -> Array:
+    """c10d all_gather / _all_gather_base (distributed_c10d.py:1941,2024)."""
+    return lax.all_gather(x, axis_name, axis=axis, tiled=tiled)
+
+
+def reduce_scatter(x: Array, axis_name: AxisName = "data",
+                   axis: int = 0) -> Array:
+    """c10d reduce_scatter (distributed_c10d.py:2366)."""
+    return lax.psum_scatter(x, axis_name, scatter_dimension=axis, tiled=True)
+
+
+def all_to_all(x: Array, axis_name: AxisName = "data", split_axis: int = 0,
+               concat_axis: int = 0) -> Array:
+    """c10d all_to_all_single (distributed_c10d.py:2578)."""
+    return lax.all_to_all(x, axis_name, split_axis=split_axis,
+                          concat_axis=concat_axis, tiled=True)
+
+
+def broadcast(x: Array, axis_name: AxisName = "data", root: int = 0) -> Array:
+    """c10d broadcast (distributed_c10d.py:1130): every member gets root's
+    value. Expressed as a masked psum (zero out non-root contributions)."""
+    idx = lax.axis_index(axis_name)
+    contrib = jnp.where(idx == root, x, jnp.zeros_like(x))
+    return lax.psum(contrib, axis_name)
+
+
+def ppermute_shift(x: Array, axis_name: AxisName = "data",
+                   shift: int = 1) -> Array:
+    """Ring shift (the P2P send/recv substrate, distributed_c10d.py:849-983;
+    pipeline stage handoff)."""
+    n = lax.axis_size(axis_name)
+    perm = [(i, (i + shift) % n) for i in range(n)]
+    return lax.ppermute(x, axis_name, perm)
+
+
+def barrier(axis_name: AxisName = "data") -> Array:
+    """c10d barrier (distributed_c10d.py:2694): a psum of a unit scalar — the
+    returned value must be consumed to order subsequent work."""
+    return lax.psum(jnp.ones((), jnp.int32), axis_name)

@@ -1,0 +1,63 @@
+"""Multi-host coordination (DCN control plane).
+
+TPU-native replacement for c10d rendezvous + init_process_group
+(reference: distributed/distributed_c10d.py:460-614, rendezvous.py:54-239):
+``jax.distributed.initialize`` starts/joins the JAX coordination service —
+the env:// pattern (MASTER_ADDR/PORT, RANK, WORLD_SIZE) maps onto
+coordinator_address/process_id/num_processes. No NCCL/Gloo backends: the
+data plane is ICI/DCN collectives compiled by XLA.
+
+The DDP sampler's pickled shared-seed all_gather (sampler_ddp.py:64-109) is
+replaced by broadcast_host_value: a tiny device all-gather of a scalar.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """init_process_group equivalent. Args fall back to torch-style env vars
+    (MASTER_ADDR/MASTER_PORT/WORLD_SIZE/RANK) for drop-in launch scripts."""
+    if coordinator_address is None and "MASTER_ADDR" in os.environ:
+        coordinator_address = (f"{os.environ['MASTER_ADDR']}:"
+                               f"{os.environ.get('MASTER_PORT', '12355')}")
+    if num_processes is None and "WORLD_SIZE" in os.environ:
+        num_processes = int(os.environ["WORLD_SIZE"])
+    if process_id is None and "RANK" in os.environ:
+        process_id = int(os.environ["RANK"])
+    if coordinator_address is None:
+        return  # single-process
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def broadcast_host_value(value: int, mesh=None) -> int:
+    """Share a host scalar (e.g. a sampling seed) from process 0 to all —
+    replaces the reference's gloo pickled-object all_gather
+    (sampler_ddp.py:64-109)."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    if jax.process_count() == 1:
+        return int(value)
+    arr = multihost_utils.broadcast_one_to_all(np.asarray(value, np.int64))
+    return int(arr)

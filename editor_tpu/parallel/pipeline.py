@@ -1,0 +1,151 @@
+"""Pipeline parallelism: GPipe-style synchronous microbatch pipeline.
+
+reference: distributed/pipeline/sync/ — Pipe module with chunked
+micro-batches (pipe.py:172), clock-cycle scheduler (pipeline.py:83), worker
+threads + CUDA stream copy/wait (worker.py:35, copy.py:30), activation
+checkpointing (checkpoint.py:253), and profiling-based auto-balance
+(_balance/profile.py:44, blockpartition.py:18).
+
+TPU-native re-design: no worker threads, no stream management — ONE
+``shard_map`` over a 'stage' mesh axis runs the classic skew-schedule loop:
+each device owns one stage's params; per clock tick every stage computes its
+microbatch and hands activations to the next stage via ``ppermute`` (ICI
+neighbor copy, which XLA overlaps with compute). The M+S-1 tick loop is a
+``lax.fori_loop`` — the whole pipeline is a single compiled program.
+Activation checkpointing maps onto ``jax.checkpoint`` of the stage fn.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+Array = jax.Array
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Any, Array], Array],
+    stage_params: Any,
+    x: Array,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis_name: str = "stage",
+    remat: bool = False,
+) -> Array:
+    """Run ``x`` through S pipeline stages.
+
+    Args:
+      stage_fn: (params_for_one_stage, activations) -> activations, same
+        activation shape in/out (classic GPipe partition).
+      stage_params: pytree with a leading stage axis of size S (stacked per
+        stage), sharded over ``axis_name``.
+      x: [B, ...] global batch; B must divide into ``num_microbatches``.
+      mesh: mesh containing the ``axis_name`` axis of size S.
+
+    Returns: [B, ...] output activations (from the last stage).
+    """
+    S = mesh.shape[axis_name]
+    B = x.shape[0]
+    if B % num_microbatches:
+        raise ValueError(f"batch {B} not divisible by {num_microbatches}")
+    mb = B // num_microbatches
+    xm = x.reshape(num_microbatches, mb, *x.shape[1:])
+    fn = jax.checkpoint(stage_fn) if remat else stage_fn
+
+    def per_stage(params_stacked, xm_local):
+        params_local = jax.tree_util.tree_map(lambda p: p[0], params_stacked)
+        stage = lax.axis_index(axis_name)
+        M = num_microbatches
+        T = M + S - 1
+        outputs = jnp.zeros_like(xm_local)
+        recv = jnp.zeros_like(xm_local[0])
+
+        def tick(t, carry):
+            outputs, recv = carry
+            # stage 0 consumes microbatch t (clamped; masked out-of-range)
+            feed_idx = jnp.clip(t, 0, M - 1)
+            inp = jnp.where(stage == 0, xm_local[feed_idx], recv)
+            out = fn(params_local, inp)
+            # last stage commits microbatch t-(S-1) when in range
+            commit = (stage == S - 1) & (t >= S - 1)
+            out_idx = jnp.clip(t - (S - 1), 0, M - 1)
+            committed = lax.dynamic_update_index_in_dim(outputs, out, out_idx, 0)
+            outputs = jnp.where(commit, committed, outputs)
+            # hand activations to the next stage (ring neighbor copy)
+            perm = [(i, (i + 1) % S) for i in range(S)]
+            recv = lax.ppermute(out, axis_name, perm)
+            return outputs, recv
+
+        outputs, _ = lax.fori_loop(0, T, tick, (outputs, recv))
+        return outputs[None]  # re-add stage axis for the out_spec
+
+    stage_spec = jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
+    out = shard_map(
+        per_stage, mesh=mesh,
+        in_specs=(stage_spec, P()),
+        out_specs=P(axis_name),
+        check_rep=False,
+    )(stage_params, xm)
+    # out: [S, M, mb, ...]; the last stage's buffer holds the results
+    return out[-1].reshape(B, *x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# auto-balance (reference _balance/blockpartition.py:18 — minimize the max
+# stage cost over contiguous layer blocks)
+# ---------------------------------------------------------------------------
+
+def balance_stages(costs: Sequence[float], num_stages: int) -> List[int]:
+    """Partition layers into contiguous blocks minimizing the bottleneck cost.
+    Returns the number of layers per stage. O(n² · S) DP — n is tiny."""
+    n = len(costs)
+    if num_stages > n:
+        raise ValueError("more stages than layers")
+    prefix = [0.0]
+    for c in costs:
+        prefix.append(prefix[-1] + c)
+    block = lambda i, j: prefix[j] - prefix[i]  # cost of layers [i, j)
+
+    INF = float("inf")
+    # dp[s][j] = minimal bottleneck for first j layers in s blocks
+    dp = [[INF] * (n + 1) for _ in range(num_stages + 1)]
+    cut = [[0] * (n + 1) for _ in range(num_stages + 1)]
+    dp[0][0] = 0.0
+    for s in range(1, num_stages + 1):
+        for j in range(s, n + 1):
+            for i in range(s - 1, j):
+                cand = max(dp[s - 1][i], block(i, j))
+                if cand < dp[s][j]:
+                    dp[s][j] = cand
+                    cut[s][j] = i
+    sizes = []
+    j = n
+    for s in range(num_stages, 0, -1):
+        i = cut[s][j]
+        sizes.append(j - i)
+        j = i
+    return list(reversed(sizes))
+
+
+def profile_layer_costs(layer_fns: Sequence[Callable], x: Array,
+                        iters: int = 3) -> List[float]:
+    """Wall-clock per-layer cost profile (reference _balance/profile.py:44):
+    feeds each layer its predecessor's output and times jitted execution."""
+    import time
+    costs = []
+    for fn in layer_fns:
+        jf = jax.jit(fn)
+        y = jf(x)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = jf(x)
+        jax.block_until_ready(y)
+        costs.append((time.perf_counter() - t0) / iters)
+        x = y
+    return costs
