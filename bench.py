@@ -32,7 +32,7 @@ def main():
     on_tpu = backend == "tpu"
     ecfg = _flagship_cfg(use_pallas=on_tpu)
     params, state = editor_init(jax.random.PRNGKey(0), ecfg)
-    B = 64 if on_tpu else 2
+    B = 128 if on_tpu else 2
     rng = np.random.RandomState(0)
     images = {
         m: jnp.asarray(rng.randn(B, 256, 128, 3), jnp.bfloat16)

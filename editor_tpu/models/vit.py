@@ -162,30 +162,46 @@ def patch_embed(p: dict, x: Array, cfg: ViTConfig) -> Array:
 
 
 def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
-               rng: Optional[Array]) -> Tuple[Array, Array]:
-    """Self-attention returning (out, attn_probs[f32]) — the probs feed the
-    rollout carry (reference Attention.forward get_attn: vit_pytorch.py:184-198)."""
+               rng: Optional[Array]) -> Tuple[Array, Tuple[Array, Array]]:
+    """Self-attention returning (out, (q, k)).
+
+    The reference returns the full per-layer attention maps for SFTS's
+    rollout (Attention.forward get_attn: vit_pytorch.py:184-198); saving
+    (q, k) instead carries L·2·N·D elements rather than L·N² — the rollout
+    kernel (editor_tpu/ops/rollout.py) recomputes the softmax on-chip.
+    When attn_drop_rate > 0 (never in the shipped configs) the rollout sees
+    pre-dropout probabilities — a documented deviation.
+    """
     B, N, C = x.shape
     H, D = cfg.num_heads, cfg.head_dim
     qkv = linear(p["qkv"], x).reshape(B, N, 3, H, D)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
-    # einsum straight from [B,N,H,D] — no explicit head transposes; XLA picks
-    # the layout, saving 3 materialized [B,H,N,D] copies per layer
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * cfg.scale
-    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    if training and cfg.attn_drop_rate > 0 and rng is not None:
-        rng, sub = jax.random.split(rng)
-        attn = dropout(sub, attn, cfg.attn_drop_rate, training)
-    attn_c = attn.astype(x.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn_c, v,
-                     preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(B, N, C)
+    use_fused = (jax.default_backend() == "tpu"
+                 and not (training and cfg.attn_drop_rate > 0))
+    if use_fused:
+        from editor_tpu.ops.fused_attention import fused_attention
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        out = fused_attention(qt, kt, vt, cfg.scale)  # [B,H,N,D]
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    else:
+        # einsum straight from [B,N,H,D] — no explicit head transposes
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * cfg.scale
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if training and cfg.attn_drop_rate > 0 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            attn = dropout(sub, attn, cfg.attn_drop_rate, training)
+        attn_c = attn.astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn_c, v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(B, N, C)
     out = linear(p["proj"], out)
     if training and cfg.drop_rate > 0 and rng is not None:
         _, sub = jax.random.split(rng)
         out = dropout(sub, out, cfg.drop_rate, training)
-    return out, attn_c
+    return out, (q, k)
 
 
 def _mlp(p: dict, x: Array, training: bool, rate: float,
@@ -269,33 +285,28 @@ def vit_apply(
         r1 = r2 = r3 = None
         if have_rng:
             r1, r2, r3 = jax.random.split(lrng, 3)
-        mid, attn = _attention(bp["attn"], layernorm(bp["norm1"], xs, cfg.ln_eps),
-                               cfg, training, r3)
+        mid, qk = _attention(bp["attn"], layernorm(bp["norm1"], xs, cfg.ln_eps),
+                             cfg, training, r3)
         xs = xs + _drop_path_scan(r1, mid, rate, training)
         xs = xs + _drop_path_scan(
             r2, _mlp(bp["mlp"], layernorm(bp["norm2"], xs, cfg.ln_eps),
                      training, cfg.drop_rate, r3), rate, training)
-        return xs, (attn if collect_rollout else None)
+        return xs, (qk if collect_rollout else None)
 
-    tokens, attn_maps = jax.lax.scan(
+    tokens, qks = jax.lax.scan(
         body, tokens, (params["blocks"], dpr, layer_rngs))
     tokens = layernorm(params["norm"], tokens, cfg.ln_eps)
     if not collect_rollout:
         return tokens, None
 
     # Attention rollout: Part_Attention needs only the cls ROW of the full
-    # chain product P = A_L @ ... @ A_1 (SFTS.py:150-153). row0(P) =
-    # e0ᵀ A_L A_{L-1} ... A_1, so instead of carrying the [N,N] product (an
-    # O(N³) matmul per layer) we run a reverse VECTOR chain over the stacked
-    # maps (stored in compute dtype) — O(N²) per layer, fp32 accumulation,
-    # stop_gradient'd (the rollout only feeds a discrete top-k, no gradient).
-    attn_maps = jax.lax.stop_gradient(attn_maps)  # [L, B, H, N, N]
-
-    def roll_body(v, a):
-        return jnp.einsum("bhn,bhnm->bhm", v, a,
-                          preferred_element_type=jnp.float32), None
-
-    v0 = attn_maps[-1][:, :, 0, :].astype(jnp.float32)  # cls row, last layer
-    v, _ = jax.lax.scan(roll_body, v0, attn_maps[:-1], reverse=True)
-    rollout_cls = v[:, :, 1:]
+    # chain product P = A_L @ ... @ A_1 (SFTS.py:150-153) = a reverse vector
+    # chain e0ᵀ A_L ... A_1 — recomputed from the saved per-layer (q, k) by
+    # the fused kernel (softmax stays in VMEM; nothing [N,N]-sized touches
+    # HBM). Gradient-free: the rollout only feeds a discrete top-k.
+    qs, ks = qks  # each [L, B, N, H, D]
+    from editor_tpu.ops.rollout import attention_rollout
+    qs = qs.transpose(0, 1, 3, 2, 4)  # [L, B, H, N, D]
+    ks = ks.transpose(0, 1, 3, 2, 4)
+    rollout_cls = attention_rollout(qs, ks, cfg.scale)
     return tokens, rollout_cls

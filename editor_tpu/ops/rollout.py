@@ -1,0 +1,105 @@
+"""Attention-rollout kernel: cls-row of the chain product of per-layer
+attention maps, recomputed from stored (q, k).
+
+The SFTS mask needs row0 of P = A_L @ ... @ A_1 (reference Part_Attention,
+SFTS.py:145-153). Materializing L full [B,H,N,N] probability maps costs
+~1 GB of HBM traffic per tri-modal batch; instead the backbone saves the
+per-layer (q, k) tensors (L·2·N·D ≪ L·N² elements) and this kernel
+recomputes each layer's softmax ON-CHIP while running the reverse vector
+chain v ← v·A_i — one [N,N] logits tile in VMEM at a time, nothing written
+back to HBM but the final [B,H,P] row.
+
+Gradient-free by construction (the rollout feeds a discrete top-k), so no
+VJP is needed — callers wrap in stop_gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _xla_rollout(qs: Array, ks: Array, scale: float) -> Array:
+    """Reference implementation: qs/ks [L, B, H, N, D] → [B, H, N-1]."""
+    L = qs.shape[0]
+    logits = jnp.einsum("bhnd,bhmd->bhnm", qs[-1], ks[-1],
+                        preferred_element_type=jnp.float32) * scale
+    v = jax.nn.softmax(logits[:, :, 0, :], axis=-1)  # cls row of A_L
+
+    def body(v, qk):
+        q, k = qk
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        a = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhn,bhnm->bhm", v, a,
+                          preferred_element_type=jnp.float32), None
+
+    v, _ = jax.lax.scan(body, v, (qs[:-1], ks[:-1]), reverse=True)
+    return v[:, :, 1:]
+
+
+def _rollout_kernel(q_ref, k_ref, out_ref, *, scale, num_layers):
+    # q_ref/k_ref: [L, 1, N, D] for one (b·h); out_ref: [1, N]
+    qL = q_ref[num_layers - 1, 0].astype(jnp.float32)  # [N, D]
+    kL = k_ref[num_layers - 1, 0].astype(jnp.float32)
+    # cls row of the last layer's map
+    logits = (qL[0:1, :] @ kL.T) * scale  # [1, N]
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits)
+    v = e / jnp.sum(e, axis=-1, keepdims=True)  # [1, N]
+
+    def body(i, v):
+        l = num_layers - 2 - i
+        q = q_ref[l, 0].astype(jnp.float32)
+        k = k_ref[l, 0].astype(jnp.float32)
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)  # [N, N]
+        return v @ a  # [1, N]
+
+    v = jax.lax.fori_loop(0, num_layers - 1, body, v)
+    out_ref[0, 0, :] = v[0]
+
+
+def _pallas_rollout(qs: Array, ks: Array, scale: float) -> Array:
+    import jax.experimental.pallas as pl
+
+    L, B, H, N, D = qs.shape
+    qf = qs.reshape(L, B * H, N, D)
+    kf = ks.reshape(L, B * H, N, D)
+    kernel = functools.partial(_rollout_kernel, scale=scale, num_layers=L)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * H, 1, N), jnp.float32),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((L, 1, N, D), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((L, 1, N, D), lambda i: (0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0)),
+    )(qf, kf)
+    return out.reshape(B, H, N)[:, :, 1:]
+
+
+def attention_rollout(qs: Array, ks: Array, scale: float,
+                      use_pallas: bool = False) -> Array:
+    """qs/ks: [L, B, H, N, D] per-layer queries/keys (pre-softmax, pre-scale).
+    Returns the fp32 [B, H, N-1] rollout cls-row over patch tokens.
+
+    Default path is the XLA recompute chain: measured faster than the
+    per-(b,h) Pallas kernel (grid of 2304 tiny M=1 matmuls under-feeds the
+    MXU), while still avoiding the L stacked prob maps in HBM.
+    """
+    import os
+    qs = jax.lax.stop_gradient(qs)
+    ks = jax.lax.stop_gradient(ks)
+    choice = os.environ.get("EDITOR_TPU_ROLLOUT", "pallas" if use_pallas else "xla")
+    if choice == "pallas" and jax.default_backend() == "tpu":
+        return _pallas_rollout(qs, ks, scale)
+    return _xla_rollout(qs, ks, scale)

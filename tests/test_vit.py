@@ -53,12 +53,14 @@ def test_rollout_matches_naive_chain(small_cfg):
     maps = []
     for i in range(cfg.depth):
         bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
-        mid, attn = _attention(bp["attn"], layernorm(bp["norm1"], tokens, cfg.ln_eps),
-                               cfg, False, None)
+        mid, (q, k) = _attention(bp["attn"],
+                                 layernorm(bp["norm1"], tokens, cfg.ln_eps),
+                                 cfg, False, None)
         tokens = tokens + mid
         tokens = tokens + _mlp(bp["mlp"], layernorm(bp["norm2"], tokens, cfg.ln_eps),
                                False, 0.0, None)
-        maps.append(attn)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * cfg.scale
+        maps.append(jax.nn.softmax(logits, axis=-1))
     last = maps[0]
     for m in maps[1:]:
         last = jnp.einsum("bhnm,bhmk->bhnk", m, last)
