@@ -53,8 +53,12 @@ _REC_LO: Dict[str, List[float]] = {
 }
 
 
-def wavelet_filters(wave: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (dec_lo, dec_hi, rec_lo, rec_hi) float64 arrays (pywt convention)."""
+def wavelet_filters(wave) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (dec_lo, dec_hi, rec_lo, rec_hi) float64 arrays (pywt convention).
+    ``wave`` may also be an explicit 4-tuple of coefficient arrays (used by the
+    DTCWT's q-shift banks)."""
+    if isinstance(wave, tuple):
+        return tuple(np.asarray(f, np.float64) for f in wave)
     if wave not in _REC_LO:
         raise ValueError(f"unknown wavelet '{wave}'; have {sorted(_REC_LO)}")
     rec_lo = np.asarray(_REC_LO[wave], dtype=np.float64)
