@@ -1,0 +1,76 @@
+"""Elastic launcher — the torchrun equivalent.
+
+reference: distributed/run.py:328-696 (torchrun CLI), launcher/api.py:28-95
+(LaunchConfig/elastic_launch), legacy launch.py. Spawns N worker processes
+with torch-style env (RANK/LOCAL_RANK/WORLD_SIZE/MASTER_ADDR/MASTER_PORT —
+consumed by editor_tpu.parallel.multihost.initialize) under the elastic
+supervisor (bounded restarts, watchdog, error files).
+
+Usage:
+    python -m editor_tpu.cli.launch --nproc_per_node 2 --max_restarts 3 \
+        -- python -m editor_tpu.cli.train --config_file configs/RGBNT201.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="editor_tpu elastic launcher")
+    parser.add_argument("--nproc_per_node", type=int,
+                        default=int(os.environ.get("NPROC_PER_NODE", "1")))
+    parser.add_argument("--nnodes", type=int, default=1)
+    parser.add_argument("--node_rank", type=int,
+                        default=int(os.environ.get("NODE_RANK", "0")))
+    parser.add_argument("--master_addr",
+                        default=os.environ.get("MASTER_ADDR", "127.0.0.1"))
+    parser.add_argument("--master_port",
+                        default=os.environ.get("MASTER_PORT", "29500"))
+    parser.add_argument("--max_restarts", type=int, default=3)
+    parser.add_argument("--monitor_interval", type=float, default=1.0)
+    parser.add_argument("--heartbeat_timeout", type=float, default=None)
+    parser.add_argument("--error_dir", default="/tmp/editor_tpu_elastic")
+    parser.add_argument("cmd", nargs=argparse.REMAINDER,
+                        help="-- worker command line")
+    args = parser.parse_args(argv)
+
+    cmd = args.cmd
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        parser.error("no worker command given (append: -- python your_script.py)")
+
+    from editor_tpu.parallel.elastic import ElasticSupervisor, WorkerSpec
+
+    # single supervisor per node; worker ranks offset by node_rank
+    world = args.nnodes * args.nproc_per_node
+    env = {
+        "MASTER_ADDR": args.master_addr,
+        "MASTER_PORT": str(args.master_port),
+        "WORLD_SIZE": str(world),
+        "NODE_RANK": str(args.node_rank),
+        "NPROC_PER_NODE": str(args.nproc_per_node),
+    }
+    spec = WorkerSpec(
+        argv=cmd,
+        nproc=args.nproc_per_node,
+        max_restarts=args.max_restarts,
+        monitor_interval=args.monitor_interval,
+        heartbeat_timeout=args.heartbeat_timeout,
+        env=env,
+        error_dir=args.error_dir,
+    )
+
+    # per-worker RANK derives from LOCAL_RANK (set by the supervisor) at the
+    # worker side: RANK = NODE_RANK * nproc + LOCAL_RANK
+    sup = ElasticSupervisor(spec)
+    restarts = sup.run()
+    print(f"launch complete; restarts used: {restarts}")
+    return restarts
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)

@@ -145,9 +145,9 @@ class R1mAPEvaluator:
         q_pids, g_pids = pids[:nq], pids[nq:]
         q_camids, g_camids = camids[:nq], camids[nq:]
         if self.reranking:
-            from editor_tpu.evals.reranking import k_reciprocal_rerank
-            distmat = k_reciprocal_rerank(np.asarray(qf), np.asarray(gf),
-                                          k1=50, k2=15, lambda_value=0.3)
+            from editor_tpu.native import rerank_auto
+            distmat = rerank_auto(np.asarray(qf), np.asarray(gf),
+                                  k1=50, k2=15, lambda_value=0.3)
         else:
             distmat = euclidean_distmat(qf, gf)
         if self.msvr_protocol:

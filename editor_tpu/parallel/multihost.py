@@ -32,6 +32,11 @@ def initialize(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["WORLD_SIZE"])
     if process_id is None and "RANK" in os.environ:
         process_id = int(os.environ["RANK"])
+    if process_id is None and "LOCAL_RANK" in os.environ:
+        # launched by editor_tpu.cli.launch: derive the global rank
+        process_id = (int(os.environ.get("NODE_RANK", "0"))
+                      * int(os.environ.get("NPROC_PER_NODE", "1"))
+                      + int(os.environ["LOCAL_RANK"]))
     if coordinator_address is None:
         return  # single-process
     jax.distributed.initialize(coordinator_address=coordinator_address,
