@@ -93,9 +93,37 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                        step=state.step)
 
     augment = make_train_augment(cfg.INPUT)
-    step = build_train_step(ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
-                            compute_dtype=compute_dtype, mesh=mesh,
-                            donate=cfg.TPU.DONATE, augment=augment)
+    ddp_wrap = None
+    if mesh is not None and cfg.TPU.GRAD_COMPRESSION not in ("none", ""):
+        # compressed gradient all-reduce needs the explicit shard_map step
+        from editor_tpu.parallel.compression import make_reducer
+        from editor_tpu.parallel.ddp import build_ddp_train_step, make_ddp_state
+        reducer = make_reducer(cfg.TPU.GRAD_COMPRESSION,
+                               rank=cfg.TPU.POWERSGD_RANK)
+        raw_step = build_ddp_train_step(
+            ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR, mesh,
+            reducer=reducer, compute_dtype=compute_dtype, augment=augment)
+        from editor_tpu.parallel.ddp import DDPState
+        comm_box = {"comm": reducer.init(state.params)}
+
+        def step(s, batch, epoch):
+            new_dd, metrics = raw_step(DDPState(train=s, comm=comm_box["comm"]),
+                                       batch, epoch)
+            comm_box["comm"] = new_dd.comm
+            return new_dd.train, metrics
+    else:
+        state_shardings = None
+        if mesh is not None and cfg.TPU.ZERO_STAGE == 1:
+            from editor_tpu.engine.train import zero1_state_shardings
+            state_shardings = zero1_state_shardings(state, mesh)
+            state = jax.tree_util.tree_map(jax.device_put, state,
+                                           state_shardings)
+            logger.info("ZeRO-1: optimizer state sharded over the data axis")
+        step = build_train_step(ecfg, opt, loss_func, lr_fn,
+                                cfg.SOLVER.BASE_LR,
+                                compute_dtype=compute_dtype, mesh=mesh,
+                                donate=cfg.TPU.DONATE, augment=augment,
+                                state_shardings=state_shardings)
 
     ckpt_mgr = None
     if cfg.OUTPUT_DIR:

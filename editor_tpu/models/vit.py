@@ -56,6 +56,7 @@ class ViTConfig:
     sie_xishu: float = 3.0
     ln_eps: float = 1e-6
     num_fc_classes: int = 1000  # legacy ImageNet head kept for param parity
+    remat: bool = False  # jax.checkpoint each block (activation recompute)
 
     @property
     def num_y(self) -> int:
@@ -293,8 +294,9 @@ def vit_apply(
                      training, cfg.drop_rate, r3), rate, training)
         return xs, (qk if collect_rollout else None)
 
+    scan_body = jax.checkpoint(body) if cfg.remat else body
     tokens, qks = jax.lax.scan(
-        body, tokens, (params["blocks"], dpr, layer_rngs))
+        scan_body, tokens, (params["blocks"], dpr, layer_rngs))
     tokens = layernorm(params["norm"], tokens, cfg.ln_eps)
     if not collect_rollout:
         return tokens, None

@@ -42,35 +42,35 @@ def _xla_masked_attention(q: Array, k: Array, v: Array, mask: Array,
 
 
 def _pallas_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, mask_fill):
-    import jax.experimental.pallas as pl  # noqa: F401
-
-    q = q_ref[0].astype(jnp.float32)  # [N, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    m = mask_ref[0, 0].astype(jnp.float32)  # [N]
+    # batched over the G (batch·head) pairs of this grid step
+    q = q_ref[...].astype(jnp.float32)  # [G, N, D]
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...]
+    m = mask_ref[...].astype(jnp.float32)  # [G, 1, N]
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    pair = m[:, None] * m[None, :]
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [G, N, N]
+    pair = m.transpose(0, 2, 1) * m  # [G, N, N] (query-row x key-col mask)
     logits = jnp.where(pair == 0.0, mask_fill, logits)
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    attn = attn * m[:, None]
+    attn = attn * m.transpose(0, 2, 1)  # re-mask query rows
     out = jax.lax.dot_general(
-        attn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        attn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _pallas_masked_attention(q: Array, k: Array, v: Array, mask: Array,
                              scale: float, mask_fill: float,
-                             interpret: bool = False) -> Array:
+                             interpret: bool = False,
+                             group: int = 8) -> Array:
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     B, H, N, D = q.shape
-    pad_n = (-N) % 128
+    # blocks carry the full token axis, so it only needs sublane (8) alignment
+    pad_n = (-N) % 8
     if pad_n:
         zpad = [(0, 0), (0, 0), (0, pad_n), (0, 0)]
         q = jnp.pad(q, zpad)
@@ -78,25 +78,27 @@ def _pallas_masked_attention(q: Array, k: Array, v: Array, mask: Array,
         v = jnp.pad(v, zpad)
         mask = jnp.pad(mask, [(0, 0), (0, pad_n)])
     Np = N + pad_n
-    qf = q.reshape(B * H, Np, D)
-    kf = k.reshape(B * H, Np, D)
-    vf = v.reshape(B * H, Np, D)
-    # [B*H, 1, Np]: the unit middle dim keeps the trailing-2D block equal to
-    # the array dims, satisfying Mosaic's (8,128) tiling rule for 1-row blocks
-    mf = jnp.repeat(mask, H, axis=0)[:, None, :]
+    Z = B * H
+    g = group
+    while Z % g:
+        g //= 2
+    qf = q.reshape(Z, Np, D)
+    kf = k.reshape(Z, Np, D)
+    vf = v.reshape(Z, Np, D)
+    mf = jnp.repeat(mask, H, axis=0)[:, None, :]  # [Z, 1, Np]
 
     kernel = functools.partial(_pallas_kernel, scale=scale, mask_fill=mask_fill)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
-        grid=(B * H,),
+        out_shape=jax.ShapeDtypeStruct((Z, Np, D), q.dtype),
+        grid=(Z // g,),
         in_specs=[
-            pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, Np), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, 1, Np), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(qf, kf, vf, mf)
     out = out.reshape(B, H, Np, D)

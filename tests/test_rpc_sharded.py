@@ -15,24 +15,28 @@ def _make_counter():
     return 0
 
 
-def _worker1(port, results):
+def _worker1(port, done_file):
     os.environ["JAX_PLATFORMS"] = "cpu"
     from editor_tpu.parallel import rpc
-    rpc.init_rpc("worker1", rank=1, world_size=2, master_port=port)
-    # stay alive serving requests until rank 0 finishes
-    time.sleep(8)
+    rpc.init_rpc("worker1", rank=1, world_size=2, master_port=port,
+                 timeout=120.0)
+    # stay alive serving requests until the master signals completion
+    deadline = time.time() + 120
+    while not os.path.exists(done_file) and time.time() < deadline:
+        time.sleep(0.2)
     rpc.shutdown()
 
 
 def test_rpc_end_to_end(tmp_path):
-    port = 29700 + os.getpid() % 200
+    port = 29700 + (os.getpid() + int(time.time())) % 500
+    done_file = str(tmp_path / "done")
     ctx = mp.get_context("spawn")
-    results = ctx.Queue()
-    p = ctx.Process(target=_worker1, args=(port, results), daemon=True)
+    p = ctx.Process(target=_worker1, args=(port, done_file), daemon=True)
     p.start()
     try:
         from editor_tpu.parallel import rpc
-        rpc.init_rpc("master", rank=0, world_size=2, master_port=port)
+        rpc.init_rpc("master", rank=0, world_size=2, master_port=port,
+                     timeout=120.0)
         # sync call
         assert rpc.rpc_sync("worker1", _square, (7,)) == 49
         # async call
@@ -59,9 +63,13 @@ def test_rpc_end_to_end(tmp_path):
                                        [module.params_rref])
         opt.step(0.5)
         np.testing.assert_allclose(module.params_rref.to_here(), w * 0.5)
+        with open(done_file, "w") as f:
+            f.write("done")
         rpc.shutdown()
     finally:
-        p.join(timeout=12)
+        with open(done_file, "w") as f:
+            f.write("done")
+        p.join(timeout=20)
         if p.is_alive():
             p.terminate()
 
