@@ -126,16 +126,30 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                                 state_shardings=state_shardings)
 
     ckpt_mgr = None
+    start_epoch = 1
     if cfg.OUTPUT_DIR:
         from editor_tpu.utils.checkpoint import CheckpointManager
         ckpt_mgr = CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "ckpt"),
                                      use_async=cfg.TPU.ASYNC_CHECKPOINT)
+        # auto-resume: restore the full train state (the elastic supervisor
+        # restarts this entry point; unlike the reference's model-only saves,
+        # engine/processor.py:120-127, this resumes exactly)
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            restored = ckpt_mgr.restore(
+                latest, template={"state": jax.device_get(state), "epoch": 0})
+            state = jax.tree_util.tree_map(jnp.asarray, restored["state"])
+            if not isinstance(state, TrainState):
+                state = TrainState(**state) if isinstance(state, dict) else state
+            start_epoch = int(restored["epoch"]) + 1
+            logger.info("Resumed from checkpoint step %d (epoch %d)",
+                        latest, start_epoch - 1)
 
     loss_meter, acc_meter = AverageMeter(), AverageMeter()
     best = {"mAP": 0.0, "Rank-1": 0.0, "Rank-5": 0.0, "Rank-10": 0.0}
     log_period = cfg.SOLVER.LOG_PERIOD
 
-    for epoch in range(1, cfg.SOLVER.MAX_EPOCHS + 1):
+    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS + 1):
         t0 = time.time()
         loss_meter.reset()
         acc_meter.reset()
@@ -166,7 +180,8 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                         n_iter * cfg.SOLVER.IMS_PER_BATCH / dt)
 
         if ckpt_mgr and epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
-            ckpt_mgr.save(int(state.step), jax.device_get(state))
+            ckpt_mgr.save(int(state.step),
+                          {"state": jax.device_get(state), "epoch": epoch})
 
         if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and dm.num_query > 0:
             cmc, mAP = evaluate(cfg, ecfg, state, dm, mesh, compute_dtype)
@@ -181,8 +196,9 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                         "Rank-5": float(cmc[4]) if len(cmc) > 4 else 0.0,
                         "Rank-10": float(cmc[9]) if len(cmc) > 9 else 0.0}
                 if ckpt_mgr:
-                    ckpt_mgr.save(int(state.step), jax.device_get(state),
-                                  force=True)
+                    ckpt_mgr.save(int(state.step),
+                                  {"state": jax.device_get(state),
+                                   "epoch": epoch}, force=True)
             logger.info("Best mAP so far: %.2f%%", best["mAP"] * 100)
 
     if ckpt_mgr:

@@ -98,3 +98,15 @@ def test_msvr_protocol():
     sc_g = rng.randint(0, 4, G)
     cmc, mAP = cmc_map_msvr(distmat, q_pids, g_pids, cams_q, cams_g, sc_q, sc_g)
     assert 0 <= mAP <= 1 and cmc.shape[0] == 40
+
+
+def test_jax_reranking_matches_numpy():
+    """Device-side fixed-k reranking == the reference-faithful numpy path."""
+    from editor_tpu.evals.reranking_jax import k_reciprocal_rerank_jax
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16) * 5
+    q = (centers[rng.randint(0, 8, 24)] + 0.4 * rng.randn(24, 16)).astype(np.float32)
+    g = (centers[rng.randint(0, 8, 100)] + 0.4 * rng.randn(100, 16)).astype(np.float32)
+    d_np = k_reciprocal_rerank(q, g, k1=10, k2=4, lambda_value=0.3)
+    d_jx = k_reciprocal_rerank_jax(q, g, k1=10, k2=4, lambda_value=0.3)
+    np.testing.assert_allclose(d_jx, d_np, atol=1e-5)

@@ -1,0 +1,71 @@
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def tiny_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resumedata"))
+    base = osp.join(root, "RGBNT201")
+    protos = {p: np.random.RandomState(50 + p).randint(0, 255, (64, 32, 3))
+              for p in range(4)}
+    idx = 0
+    for split, n in (("train_171", 16), ("test", 8)):
+        for i in range(n):
+            pid, cam = i % 4, (i // 4) % 2 + 1
+            name = f"{pid:06d}_cam{cam}_{idx}.jpg"
+            img = np.clip(protos[pid] + np.random.RandomState(idx).randint(
+                -15, 15, (64, 32, 3)), 0, 255).astype(np.uint8)
+            for mod in ("RGB", "NI", "TI"):
+                p = osp.join(base, split, mod, name)
+                os.makedirs(osp.dirname(p), exist_ok=True)
+                Image.fromarray(img).save(p)
+            idx += 1
+    return root
+
+
+def _cfg(tiny_root, out, max_epochs):
+    from editor_tpu.config import load_config
+    return load_config(None, [
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.PRETRAIN_CHOICE", "random",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]", "INPUT.SIZE_TEST", "[64, 32]",
+        "DATASETS.NAMES", "RGBNT201", "DATASETS.ROOT_DIR", tiny_root,
+        "DATALOADER.NUM_INSTANCE", "2", "DATALOADER.NUM_WORKERS", "2",
+        "SOLVER.IMS_PER_BATCH", "8",
+        "SOLVER.MAX_EPOCHS", str(max_epochs),
+        "SOLVER.EVAL_PERIOD", "100",  # skip eval for speed
+        "SOLVER.CHECKPOINT_PERIOD", "1",
+        "SOLVER.LOG_PERIOD", "1",
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TPU.MESH_DATA", "1",
+        "TPU.ASYNC_CHECKPOINT", "false",
+        "OUTPUT_DIR", out,
+    ])
+
+
+def test_train_resume_from_checkpoint(tiny_root, tmp_path):
+    """The elastic recovery contract: a restarted run resumes exactly from
+    the latest full-state checkpoint (the reference cannot — model-only
+    saves, SURVEY.md §5.4)."""
+    from editor_tpu.engine.loop import do_train
+    out = str(tmp_path / "out")
+
+    r1 = do_train(_cfg(tiny_root, out, max_epochs=2))
+    step_after_2 = int(r1["state"].step)
+    assert step_after_2 > 0
+
+    # simulated restart: second invocation continues at epoch 3
+    r2 = do_train(_cfg(tiny_root, out, max_epochs=3))
+    step_after_3 = int(r2["state"].step)
+    # exactly one more epoch's worth of steps, not three
+    assert step_after_3 == step_after_2 + step_after_2 // 2
+
+    # a third invocation with the same MAX_EPOCHS is a no-op resume
+    r3 = do_train(_cfg(tiny_root, out, max_epochs=3))
+    assert int(r3["state"].step) == step_after_3
