@@ -42,47 +42,51 @@ def _xla_rollout(qs: Array, ks: Array, scale: float) -> Array:
     return v[:, :, 1:]
 
 
-def _rollout_kernel(q_ref, k_ref, out_ref, *, scale, num_layers):
-    # q_ref/k_ref: [L, 1, N, D] for one (b·h); out_ref: [1, N]
-    qL = q_ref[num_layers - 1, 0].astype(jnp.float32)  # [N, D]
-    kL = k_ref[num_layers - 1, 0].astype(jnp.float32)
-    # cls row of the last layer's map
-    logits = (qL[0:1, :] @ kL.T) * scale  # [1, N]
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits)
-    v = e / jnp.sum(e, axis=-1, keepdims=True)  # [1, N]
-
-    def body(i, v):
-        l = num_layers - 2 - i
-        q = q_ref[l, 0].astype(jnp.float32)
-        k = k_ref[l, 0].astype(jnp.float32)
-        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
+def _rollout_kernel(q_ref, k_ref, out_ref, *, scale, num_layers, group):
+    # q_ref/k_ref: [L, G, N, D] for G (b·h) pairs; out_ref: [G, 1, N]
+    def softmaxed(l):
+        q = q_ref[l].astype(jnp.float32)  # [G, N, D]
+        k = k_ref[l].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [G, N, N]
         logits = logits - jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits)
-        a = e / jnp.sum(e, axis=-1, keepdims=True)  # [N, N]
-        return v @ a  # [1, N]
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+
+    v = softmaxed(num_layers - 1)[:, 0:1, :]  # [G, 1, N] cls rows
+
+    def body(i, v):
+        a = softmaxed(num_layers - 2 - i)
+        return jax.lax.dot_general(v, a, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
 
     v = jax.lax.fori_loop(0, num_layers - 1, body, v)
-    out_ref[0, 0, :] = v[0]
+    out_ref[...] = v
 
 
-def _pallas_rollout(qs: Array, ks: Array, scale: float) -> Array:
+def _pallas_rollout(qs: Array, ks: Array, scale: float,
+                    group: int = 8) -> Array:
     import jax.experimental.pallas as pl
 
     L, B, H, N, D = qs.shape
-    qf = qs.reshape(L, B * H, N, D)
-    kf = ks.reshape(L, B * H, N, D)
-    kernel = functools.partial(_rollout_kernel, scale=scale, num_layers=L)
+    Z = B * H
+    g = group
+    while Z % g:
+        g //= 2
+    qf = qs.reshape(L, Z, N, D)
+    kf = ks.reshape(L, Z, N, D)
+    kernel = functools.partial(_rollout_kernel, scale=scale, num_layers=L,
+                               group=g)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B * H, 1, N), jnp.float32),
-        grid=(B * H,),
+        out_shape=jax.ShapeDtypeStruct((Z, 1, N), jnp.float32),
+        grid=(Z // g,),
         in_specs=[
-            pl.BlockSpec((L, 1, N, D), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((L, 1, N, D), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((L, g, N, D), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((L, g, N, D), lambda i: (0, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((g, 1, N), lambda i: (i, 0, 0)),
     )(qf, kf)
     return out.reshape(B, H, N)[:, :, 1:]
 
