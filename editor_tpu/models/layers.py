@@ -92,11 +92,13 @@ def layernorm_init(dim: int) -> dict:
 
 
 def layernorm(p: dict, x: Array, eps: float = 1e-6) -> Array:
-    xf = x.astype(jnp.float32)
+    # compute dtype: at least f32 (bf16 inputs upcast; f64 stays f64)
+    cd = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(cd)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * p["w"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+    y = y * p["w"].astype(cd) + p["b"].astype(cd)
     return y.astype(x.dtype)
 
 
@@ -120,7 +122,8 @@ def batchnorm1d(p: dict, state: dict, x: Array, training: bool,
     (reference: modeling/make_model.py:169-171), so callers must thread `state`
     through each call in the same order to reproduce the mixed running stats.
     """
-    xf = x.astype(jnp.float32)
+    cd = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(cd)
     if training:
         mu = jnp.mean(xf, axis=0)
         var = jnp.mean(jnp.square(xf - mu), axis=0)
@@ -134,7 +137,7 @@ def batchnorm1d(p: dict, state: dict, x: Array, training: bool,
         mu, var = state["mean"], state["var"]
         new_state = state
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * p["w"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+    y = y * p["w"].astype(cd) + p["b"].astype(cd)
     return y.astype(x.dtype), new_state
 
 

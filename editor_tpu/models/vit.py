@@ -187,16 +187,18 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
         out = fused_attention(qt, kt, vt, cfg.scale)  # [B,H,N,D]
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
     else:
-        # einsum straight from [B,N,H,D] — no explicit head transposes
+        # einsum straight from [B,N,H,D] — no explicit head transposes;
+        # accumulate in at-least-f32 (f64 under x64 for parity tests)
+        cd = jnp.promote_types(x.dtype, jnp.float32)
         logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                            preferred_element_type=jnp.float32) * cfg.scale
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                            preferred_element_type=cd) * cfg.scale
+        attn = jax.nn.softmax(logits.astype(cd), axis=-1)
         if training and cfg.attn_drop_rate > 0 and rng is not None:
             rng, sub = jax.random.split(rng)
             attn = dropout(sub, attn, cfg.attn_drop_rate, training)
         attn_c = attn.astype(x.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn_c, v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=cd)
         out = out.astype(x.dtype).reshape(B, N, C)
     out = linear(p["proj"], out)
     if training and cfg.drop_rate > 0 and rng is not None:

@@ -26,17 +26,18 @@ Array = jax.Array
 def _xla_rollout(qs: Array, ks: Array, scale: float) -> Array:
     """Reference implementation: qs/ks [L, B, H, N, D] → [B, H, N-1]."""
     L = qs.shape[0]
+    cd = jnp.promote_types(qs.dtype, jnp.float32)
     logits = jnp.einsum("bhnd,bhmd->bhnm", qs[-1], ks[-1],
-                        preferred_element_type=jnp.float32) * scale
-    v = jax.nn.softmax(logits[:, :, 0, :], axis=-1)  # cls row of A_L
+                        preferred_element_type=cd) * scale
+    v = jax.nn.softmax(logits[:, :, 0, :].astype(cd), axis=-1)  # cls row of A_L
 
     def body(v, qk):
         q, k = qk
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        a = jax.nn.softmax(logits, axis=-1)
+                            preferred_element_type=cd) * scale
+        a = jax.nn.softmax(logits.astype(cd), axis=-1)
         return jnp.einsum("bhn,bhnm->bhm", v, a,
-                          preferred_element_type=jnp.float32), None
+                          preferred_element_type=cd), None
 
     v, _ = jax.lax.scan(body, v, (qs[:-1], ks[:-1]), reverse=True)
     return v[:, :, 1:]
