@@ -186,6 +186,83 @@ def load_market1501_mm(root: str) -> DatasetSplits:
     return DatasetSplits(train, query, gallery, np_, nc)
 
 
+# ---------------------------------------------------------------------------
+# single-modal person-ReID adapters (reference factory rows,
+# data/datasets/make_dataloader.py:20-29: market1501 / dukemtmc / msmt17)
+# ---------------------------------------------------------------------------
+
+_PID_CAM_RE = re.compile(r"([-\d]+)_c(\d+)")
+
+
+def _scan_single_modal_dir(dir_path: str, relabel: bool,
+                           max_pid: Optional[int] = None) -> List[Item]:
+    """market1501/dukemtmcreid layout: flat '*.jpg' named '<pid>_c<cam>…'
+    (reference market1501.py:64-85, dukemtmcreid.py:88-110); pid==-1 junk
+    images are skipped."""
+    img_paths = sorted(glob.glob(osp.join(dir_path, "*.jpg")))
+    pids = set()
+    for p in img_paths:
+        pid = int(_PID_CAM_RE.search(osp.basename(p)).group(1))
+        if pid != -1:
+            pids.add(pid)
+    pid2label = {pid: i for i, pid in enumerate(sorted(pids))}
+    items: List[Item] = []
+    for p in img_paths:
+        m = _PID_CAM_RE.search(osp.basename(p))
+        pid, camid = int(m.group(1)), int(m.group(2))
+        if pid == -1:
+            continue
+        if max_pid is not None:
+            assert 0 <= pid <= max_pid, (p, pid)
+        items.append(([p], pid2label[pid] if relabel else pid, camid - 1, 1))
+    return items
+
+
+def _load_single_modal(base: str) -> DatasetSplits:
+    train = _scan_single_modal_dir(osp.join(base, "bounding_box_train"),
+                                   relabel=True)
+    query = _scan_single_modal_dir(osp.join(base, "query"), relabel=False)
+    gallery = _scan_single_modal_dir(osp.join(base, "bounding_box_test"),
+                                     relabel=False)
+    np_, nc = _stats(train)
+    return DatasetSplits(train, query, gallery, np_, nc, num_modalities=1)
+
+
+def load_market1501(root: str) -> DatasetSplits:
+    return _load_single_modal(osp.join(root, "market1501"))
+
+
+def load_dukemtmcreid(root: str) -> DatasetSplits:
+    return _load_single_modal(
+        osp.join(root, "dukemtmc-reid", "DukeMTMC-reID"))
+
+
+def load_msmt17(root: str) -> DatasetSplits:
+    """MSMT17 V2: list files name images + pids; camid parsed from the
+    filename's third '_' field (reference msmt17.py:63-78); train and val
+    lists are concatenated into the train split (msmt17.py:38-40)."""
+    base = osp.join(root, "MSMT17")
+    train_dir = osp.join(base, "mask_train_v2")
+    test_dir = osp.join(base, "mask_test_v2")
+
+    def process(dir_path: str, list_path: str) -> List[Item]:
+        items: List[Item] = []
+        with open(list_path) as fh:
+            for line in fh:
+                rel, pid = line.split(" ")
+                camid = int(rel.split("_")[2])
+                items.append(([osp.join(dir_path, rel)], int(pid),
+                              camid - 1, 1))
+        return items
+
+    train = process(train_dir, osp.join(base, "list_train.txt"))
+    train += process(train_dir, osp.join(base, "list_val.txt"))
+    query = process(test_dir, osp.join(base, "list_query.txt"))
+    gallery = process(test_dir, osp.join(base, "list_gallery.txt"))
+    np_, nc = _stats(train)
+    return DatasetSplits(train, query, gallery, np_, nc, num_modalities=1)
+
+
 DATASET_FACTORY = {
     # reference factory dict (make_dataloader.py:20-29)
     "RGBNT201": load_rgbnt201,
@@ -194,6 +271,9 @@ DATASET_FACTORY = {
     "MSVR310": load_msvr310,
     "Market1501-MM": load_market1501_mm,
     "Market1501_MM": load_market1501_mm,
+    "market1501": load_market1501,
+    "dukemtmcreid": load_dukemtmcreid,
+    "msmt17": load_msmt17,
 }
 
 

@@ -13,6 +13,7 @@ background prefetch thread keeps one batch ahead of the step loop.
 
 from __future__ import annotations
 
+import os.path as osp
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -33,6 +34,20 @@ WIDE_TILE_W = 256  # wide-JPEG modality tile width (bases.py:21-26)
 WIDE_TILE_H = 128
 
 
+def _read_image(path: str, retries: int = 20):
+    """PIL open with an IOError retry loop (reference read_image,
+    data/datasets/bases.py:9-41: keeps retrying truncated/locked files)."""
+    if not osp.exists(path):
+        raise IOError(f"{path} does not exist")
+    last_err = None
+    for _ in range(retries):
+        try:
+            return Image.open(path).convert("RGB")
+        except IOError as e:  # pragma: no cover - transient FS failures
+            last_err = e
+    raise last_err
+
+
 def decode_item(paths, size_hw: Tuple[int, int], wide_jpeg: bool,
                 num_modalities: int) -> List[np.ndarray]:
     """Decode one item into per-modality uint8 [H,W,3] arrays, resized with
@@ -40,7 +55,7 @@ def decode_item(paths, size_hw: Tuple[int, int], wide_jpeg: bool,
     h, w = size_hw
     out: List[np.ndarray] = []
     if wide_jpeg:
-        img = Image.open(paths).convert("RGB")
+        img = _read_image(paths)
         n_tiles = img.size[0] // WIDE_TILE_W
         for i in range(min(n_tiles, num_modalities)):
             tile = img.crop((WIDE_TILE_W * i, 0, WIDE_TILE_W * (i + 1),
@@ -48,7 +63,7 @@ def decode_item(paths, size_hw: Tuple[int, int], wide_jpeg: bool,
             out.append(np.asarray(tile.resize((w, h), Image.BICUBIC)))
     else:
         for p in paths[:num_modalities]:
-            img = Image.open(p).convert("RGB")
+            img = _read_image(p)
             out.append(np.asarray(img.resize((w, h), Image.BICUBIC)))
     while len(out) < 3:  # 2-modal: duplicate NI as TI (collate semantics)
         out.append(out[-1])

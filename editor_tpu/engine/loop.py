@@ -30,10 +30,19 @@ from editor_tpu.utils.logger import MetricWriter, setup_logger
 from editor_tpu.utils.meter import AverageMeter
 
 
+_EVAL_STEP_CACHE: dict = {}
+
+
 def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
              mesh=None, compute_dtype=jnp.bfloat16):
     """Feature-extraction eval pass → (cmc, mAP)."""
-    eval_step = build_eval_step(ecfg, compute_dtype, mesh)
+    # build_eval_step returns a fresh jax.jit closure; cache it so repeated
+    # per-epoch evals reuse one compilation instead of recompiling each call
+    key = (id(ecfg), str(compute_dtype), id(mesh))
+    eval_step = _EVAL_STEP_CACHE.get(key)
+    if eval_step is None:
+        eval_step = build_eval_step(ecfg, compute_dtype, mesh)
+        _EVAL_STEP_CACHE[key] = eval_step
     transform = make_eval_transform(cfg.INPUT)
     evaluator = R1mAPEvaluator(
         dm.num_query,

@@ -59,15 +59,28 @@ def frequency_token_select(
     """Args: list of 2-3 [B, H, W, C] images. Returns [B, P] bool token mask
     (P = (H//stride)*(W//stride)), row-major over the patch grid."""
     mods = [m for m in modalities if m is not None]
-    lows, highs_all = [], []
-    for m in mods:
-        low, highs = wavedec2(m.astype(jnp.float32), wave=wave, J=J, mode="zero")
-        lows.append(low)
-        highs_all.append(highs)
     n = float(len(mods))
-    low = sum(lows) / n  # reference: Frequency.py:66-79
-    highs = [sum(level) / n for level in zip(*highs_all)]
-    inv = waverec2(low, highs, wave=wave, mode="zero")  # [B, H, W, C]
+    H, W = mods[0].shape[1], mods[0].shape[2]
+    if wave in ("haar", "db1") and H % (1 << J) == 0 and W % (1 << J) == 0:
+        # Haar on 2^J-divisible extents is an orthogonal transform with
+        # perfect reconstruction, and the reference averages EVERY band
+        # (low + all high levels) across modalities with the same 1/n weight
+        # (Frequency.py:66-81). DWT → band-average → IDWT is therefore
+        # mathematically the identity applied to the modality average:
+        # IDWT(avg(DWT(m))) == avg(m). Skip the pyramid entirely — the
+        # golden parity test (tests/test_golden_parity.py) checks this
+        # shortcut against the reference's actual DWT pipeline.
+        inv = sum(m.astype(jnp.float32) for m in mods) / n
+    else:
+        lows, highs_all = [], []
+        for m in mods:
+            low, highs = wavedec2(m.astype(jnp.float32), wave=wave, J=J,
+                                  mode="zero")
+            lows.append(low)
+            highs_all.append(highs)
+        low = sum(lows) / n  # reference: Frequency.py:66-79
+        highs = [sum(level) / n for level in zip(*highs_all)]
+        inv = waverec2(low, highs, wave=wave, mode="zero")  # [B, H, W, C]
     gray = jnp.mean(inv, axis=-1)  # channel mean (Frequency.py:44)
     counts = window_positive_counts(gray, window, stride)
     B = counts.shape[0]

@@ -103,6 +103,60 @@ def masked_mlp(p: dict, x: Array, mask: Array) -> Array:
     return linear(p["fc2"], y)
 
 
+def _stack_modal_params(params: dict, fmt: str,
+                        names=("R", "N", "T")) -> dict:
+    """Stack the three same-shaped per-modality param trees along axis 0."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[params[fmt.format(m)] for m in names])
+
+
+def _ln_modal(p: dict, x: Array, eps: float) -> Array:
+    """LayerNorm over [M, B, n, C] with per-modality affine [M, C]."""
+    cd = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(cd)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    w = p["w"][:, None, None, :].astype(cd)
+    b = p["b"][:, None, None, :].astype(cd)
+    return (y * w + b).astype(x.dtype)
+
+
+def _linear_modal(p: dict, x: Array) -> Array:
+    """[M, B, n, C] @ per-modality weights [M, C, D] (bias-free)."""
+    return jnp.einsum("mbnc,mcd->mbnd", x, p["w"].astype(x.dtype))
+
+
+def _modal_blocks_batched(params: dict, feats: List[Array], mask: Array,
+                          num_heads: int, use_pallas: bool) -> List[Array]:
+    """The three per-modality masked attn+MLP residual blocks
+    (reference: vit_pytorch.py:311-317) batched modality-major: one LN /
+    qkv / attention / MLP dispatch over a [3, B, n, C] tensor instead of
+    three small ones — same math, 3x the MXU feed per dispatch."""
+    X = jnp.stack(feats, axis=0)  # [M, B, n, C]
+    M, B, n, C = X.shape
+    H, D = num_heads, C // num_heads
+    m4 = mask[None].astype(X.dtype)            # [1, B, n, 1]
+    mask_flat = jnp.tile(mask[..., 0], (M, 1))  # [M*B, n]
+
+    att = _stack_modal_params(params, "attn{}")
+    y = _ln_modal(_stack_modal_params(params, "norm{}"), X, LN_EPS)
+    qkv = _linear_modal(att["qkv"], y * m4).reshape(M * B, n, 3, H, D)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    out = masked_attention(q, k, v, mask_flat, scale=D ** -0.5,
+                           mask_fill=MASK_FILL, use_pallas=use_pallas)
+    out = out.transpose(0, 2, 1, 3).reshape(M, B, n, C)
+    X = X + _linear_modal(att["proj"], out)
+
+    mlp = _stack_modal_params(params, "mlp{}")
+    y = _ln_modal(_stack_modal_params(params, "norm{}_"), X, LN_EPS)
+    y = _linear_modal(mlp["fc1"], y * m4)
+    X = X + _linear_modal(mlp["fc2"], gelu(y))
+    return [X[i] for i in range(M)]
+
+
 def blockmask_apply(
     params: dict,
     modal_feats: List[Optional[Array]],
@@ -129,17 +183,23 @@ def blockmask_apply(
     mask = jnp.concatenate([ones, mask_patches], axis=1)  # [B, 1+P, 1]
 
     names = ("R", "N", "T")
-    refined = []
-    for name, feat in zip(names, modal_feats):
-        if feat is None:
-            refined.append(None)
-            continue
-        f = feat + masked_attention_block(
-            params[f"attn{name}"], layernorm(params[f"norm{name}"], feat, LN_EPS),
-            mask, num_heads, use_pallas)
-        f = f + masked_mlp(
-            params[f"mlp{name}"], layernorm(params[f"norm{name}_"], f, LN_EPS), mask)
-        refined.append(f)
+    if all(f is not None for f in modal_feats[:3]) and len(modal_feats) >= 3:
+        refined = _modal_blocks_batched(
+            params, list(modal_feats[:3]), mask, num_heads, use_pallas)
+    else:
+        refined = []
+        for name, feat in zip(names, modal_feats):
+            if feat is None:
+                refined.append(None)
+                continue
+            f = feat + masked_attention_block(
+                params[f"attn{name}"],
+                layernorm(params[f"norm{name}"], feat, LN_EPS),
+                mask, num_heads, use_pallas)
+            f = f + masked_mlp(
+                params[f"mlp{name}"],
+                layernorm(params[f"norm{name}_"], f, LN_EPS), mask)
+            refined.append(f)
 
     present = [f for f in refined if f is not None]
     ocfr_loss = None

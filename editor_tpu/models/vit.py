@@ -177,12 +177,12 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
     H, D = cfg.num_heads, cfg.head_dim
     qkv = linear(p["qkv"], x).reshape(B, N, 3, H, D)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
+    qt = q.transpose(0, 2, 1, 3)  # [B,H,N,D] — also what the rollout stacks
+    kt = k.transpose(0, 2, 1, 3)
     use_fused = (jax.default_backend() == "tpu"
                  and not (training and cfg.attn_drop_rate > 0))
     if use_fused:
         from editor_tpu.ops.fused_attention import fused_attention
-        qt = q.transpose(0, 2, 1, 3)
-        kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
         out = fused_attention(qt, kt, vt, cfg.scale)  # [B,H,N,D]
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
@@ -204,7 +204,7 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
     if training and cfg.drop_rate > 0 and rng is not None:
         _, sub = jax.random.split(rng)
         out = dropout(sub, out, cfg.drop_rate, training)
-    return out, (q, k)
+    return out, (qt, kt)
 
 
 def _mlp(p: dict, x: Array, training: bool, rate: float,
@@ -308,9 +308,7 @@ def vit_apply(
     # chain e0ᵀ A_L ... A_1 — recomputed from the saved per-layer (q, k) by
     # the fused kernel (softmax stays in VMEM; nothing [N,N]-sized touches
     # HBM). Gradient-free: the rollout only feeds a discrete top-k.
-    qs, ks = qks  # each [L, B, N, H, D]
+    qs, ks = qks  # each [L, B, H, N, D] — stacked pre-transposed by the scan
     from editor_tpu.ops.rollout import attention_rollout
-    qs = qs.transpose(0, 1, 3, 2, 4)  # [L, B, H, N, D]
-    ks = ks.transpose(0, 1, 3, 2, 4)
     rollout_cls = attention_rollout(qs, ks, cfg.scale)
     return tokens, rollout_cls

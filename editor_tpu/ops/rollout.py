@@ -55,7 +55,15 @@ def _rollout_kernel(q_ref, k_ref, out_ref, *, scale, num_layers, group):
         e = jnp.exp(logits)
         return e / jnp.sum(e, axis=-1, keepdims=True)
 
-    v = softmaxed(num_layers - 1)[:, 0:1, :]  # [G, 1, N] cls rows
+    # last layer: only the cls ROW of A_L is needed — [G,1,D]·[G,N,D]ᵀ
+    q0 = q_ref[num_layers - 1][:, 0:1, :].astype(jnp.float32)
+    kL = k_ref[num_layers - 1].astype(jnp.float32)
+    l0 = jax.lax.dot_general(
+        q0, kL, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [G, 1, N]
+    l0 = l0 - jnp.max(l0, axis=-1, keepdims=True)
+    e0 = jnp.exp(l0)
+    v = e0 / jnp.sum(e0, axis=-1, keepdims=True)  # [G, 1, N] cls rows
 
     def body(i, v):
         a = softmaxed(num_layers - 2 - i)

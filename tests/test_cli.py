@@ -73,6 +73,18 @@ def test_cli_params():
     assert n > 0
 
 
+def test_cli_params_flagship_exact():
+    """Exact trainable-parameter parity with the published reference count
+    (reference params.py:65-68 prints 118.55M; verified module-for-module
+    against the reference model in round-1 review). num_class=50, camera=8,
+    256x128, AL=0 — the reference params.py configuration."""
+    from editor_tpu.cli.params import main
+    n = main(["MODEL.TRANSFORMER_TYPE", "vit_base_patch16_224",
+              "INPUT.SIZE_TRAIN", "[256, 128]",
+              "MODEL.AL", "0"])
+    assert n == 118_547_944, n
+
+
 def test_cli_test_random_weights(tiny_root, tmp_path):
     from editor_tpu.cli.test import main
     cmc, mAP = main([

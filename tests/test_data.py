@@ -150,3 +150,80 @@ def test_datamodule_end_to_end(rgbnt201_root):
     n_items = len(dm.val_items)
     assert sum(v["RGB"].shape[0] for v in vb) == n_items + dm.val_pad
     assert all(v["RGB"].shape[0] == 6 for v in vb)  # static batch shape
+
+
+# ---------------------------------------------------------------------------
+# single-modal adapters (reference make_dataloader.py:20-29 factory rows)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def market1501_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("market"))
+    base = osp.join(root, "market1501")
+    for split in ("bounding_box_train", "query", "bounding_box_test"):
+        for i in range(8):
+            pid, cam = i % 4, i % 3 + 1
+            _save(osp.join(base, split, f"{pid:04d}_c{cam}s1_{i:06d}_00.jpg"),
+                  seed=i)
+        # junk image (pid == -1) must be skipped (market1501.py:70-76)
+        _save(osp.join(base, split, f"-1_c1s1_{900:06d}_00.jpg"))
+    return root
+
+
+def test_market1501_adapter(market1501_root):
+    ds = load_dataset("market1501", market1501_root)
+    assert ds.num_modalities == 1
+    assert ds.num_train_pids == 4
+    assert len(ds.train) == 8  # junk excluded
+    paths, pid, camid, _ = ds.train[0]
+    assert len(paths) == 1 and 0 <= camid <= 2
+    # single-modal decode duplicates the image across modality slots
+    mods = decode_item(paths, (64, 32), wide_jpeg=False, num_modalities=1)
+    assert len(mods) == 3
+    assert np.array_equal(mods[0], mods[1]) and np.array_equal(mods[1], mods[2])
+
+
+def test_dukemtmcreid_adapter(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("duke"))
+    base = osp.join(root, "dukemtmc-reid", "DukeMTMC-reID")
+    for split in ("bounding_box_train", "query", "bounding_box_test"):
+        for i in range(6):
+            pid, cam = 7000 + i % 3, i % 2 + 1
+            _save(osp.join(base, split, f"{pid:04d}_c{cam}_f{i:07d}.jpg"),
+                  seed=i)
+    ds = load_dataset("dukemtmcreid", root)
+    assert ds.num_train_pids == 3 and len(ds.query) == 6
+    assert sorted({it[1] for it in ds.train}) == [0, 1, 2]  # relabeled
+
+
+def test_msmt17_adapter(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msmt"))
+    base = osp.join(root, "MSMT17")
+    os.makedirs(osp.join(base, "mask_train_v2"), exist_ok=True)
+    os.makedirs(osp.join(base, "mask_test_v2"), exist_ok=True)
+    def write_list(name, dirname, n, pid0=0):
+        lines = []
+        for i in range(n):
+            pid, cam = pid0 + i % 2, i % 3 + 1
+            rel = f"{pid:04d}/{pid:04d}_{i:03d}_{cam:02d}_morning.jpg"
+            _save(osp.join(base, dirname, rel), seed=i)
+            lines.append(f"{rel} {pid}\n")
+        with open(osp.join(base, name), "w") as fh:
+            fh.writelines(lines)
+    write_list("list_train.txt", "mask_train_v2", 4)
+    write_list("list_val.txt", "mask_train_v2", 2)
+    write_list("list_query.txt", "mask_test_v2", 4)
+    write_list("list_gallery.txt", "mask_test_v2", 4)
+    ds = load_dataset("msmt17", root)
+    assert len(ds.train) == 6  # train + val concatenated (msmt17.py:38-40)
+    assert ds.num_train_pids == 2
+    assert all(0 <= it[2] <= 2 for it in ds.train)
+
+
+def test_read_image_retry(tmp_path):
+    from editor_tpu.data.loader import _read_image
+    with pytest.raises(IOError):
+        _read_image(str(tmp_path / "missing.jpg"))
+    p = str(tmp_path / "ok.jpg")
+    _save(p)
+    assert _read_image(p).size == (32, 64)

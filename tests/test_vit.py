@@ -59,7 +59,8 @@ def test_rollout_matches_naive_chain(small_cfg):
         tokens = tokens + mid
         tokens = tokens + _mlp(bp["mlp"], layernorm(bp["norm2"], tokens, cfg.ln_eps),
                                False, 0.0, None)
-        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * cfg.scale
+        # _attention returns (q, k) pre-transposed to [B, H, N, D]
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * cfg.scale
         maps.append(jax.nn.softmax(logits, axis=-1))
     last = maps[0]
     for m in maps[1:]:
