@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from editor_tpu.models.layers import gelu, layernorm, layernorm_init, linear, linear_init
 from editor_tpu.models.ocfr import ocfr_update_and_loss
-from editor_tpu.ops.masked_attention import masked_attention
+from editor_tpu.ops.masked_attention import masked_attention_from_qkv
 
 Array = jax.Array
 
@@ -84,14 +84,12 @@ def masked_attention_block(p: dict, x: Array, mask: Array, num_heads: int,
     B, N, C = x.shape
     m = _tile_mask(mask, N)
     xm = x * m.astype(x.dtype)
-    H, D = num_heads, C // num_heads
-    qkv = linear(p["qkv"], xm).reshape(B, N, 3, H, D)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    out = masked_attention(q, k, v, m[..., 0], scale=D ** -0.5,
-                           mask_fill=MASK_FILL, use_pallas=use_pallas)
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    D = C // num_heads
+    qkv = linear(p["qkv"], xm)  # [B, N, 3C] — fed to the kernel as-is
+    out = masked_attention_from_qkv(qkv, m[..., 0], num_heads,
+                                    scale=D ** -0.5, mask_fill=MASK_FILL,
+                                    tile=mask.shape[1],
+                                    use_pallas=use_pallas)
     return linear(p["proj"], out)
 
 
@@ -141,13 +139,11 @@ def _modal_blocks_batched(params: dict, feats: List[Array], mask: Array,
 
     att = _stack_modal_params(params, "attn{}")
     y = _ln_modal(_stack_modal_params(params, "norm{}"), X, LN_EPS)
-    qkv = _linear_modal(att["qkv"], y * m4).reshape(M * B, n, 3, H, D)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    out = masked_attention(q, k, v, mask_flat, scale=D ** -0.5,
-                           mask_fill=MASK_FILL, use_pallas=use_pallas)
-    out = out.transpose(0, 2, 1, 3).reshape(M, B, n, C)
+    qkv = _linear_modal(att["qkv"], y * m4).reshape(M * B, n, 3 * C)
+    out = masked_attention_from_qkv(qkv, mask_flat, H, scale=D ** -0.5,
+                                    mask_fill=MASK_FILL, tile=n,
+                                    use_pallas=use_pallas)
+    out = out.reshape(M, B, n, C)
     X = X + _linear_modal(att["proj"], out)
 
     mlp = _stack_modal_params(params, "mlp{}")

@@ -163,32 +163,37 @@ def patch_embed(p: dict, x: Array, cfg: ViTConfig) -> Array:
 
 
 def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
-               rng: Optional[Array]) -> Tuple[Array, Tuple[Array, Array]]:
-    """Self-attention returning (out, (q, k)).
+               rng: Optional[Array],
+               need_probs: bool = True) -> Tuple[Array, Optional[Array]]:
+    """Self-attention returning (out, probs or None).
 
     The reference returns the full per-layer attention maps for SFTS's
-    rollout (Attention.forward get_attn: vit_pytorch.py:184-198); saving
-    (q, k) instead carries L·2·N·D elements rather than L·N² — the rollout
-    kernel (editor_tpu/ops/rollout.py) recomputes the softmax on-chip.
-    When attn_drop_rate > 0 (never in the shipped configs) the rollout sees
-    pre-dropout probabilities — a documented deviation.
+    rollout (Attention.forward get_attn: vit_pytorch.py:184-198). Here the
+    fused kernel spills the post-softmax probs (bf16 on TPU) only when the
+    caller collects the rollout; the reverse vector chain in
+    editor_tpu/ops/rollout.py then reduces the stack with L·N² flops instead
+    of re-running L softmax(QKᵀ) products. When attn_drop_rate > 0 (never in
+    the shipped configs) the rollout sees post-dropout probabilities, same
+    as the reference (dropout is applied to the returned map there too).
     """
     B, N, C = x.shape
     H, D = cfg.num_heads, cfg.head_dim
-    qkv = linear(p["qkv"], x).reshape(B, N, 3, H, D)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
-    qt = q.transpose(0, 2, 1, 3)  # [B,H,N,D] — also what the rollout stacks
-    kt = k.transpose(0, 2, 1, 3)
+    qkv = linear(p["qkv"], x)  # [B, N, 3C] — fed to the kernel as-is
     use_fused = (jax.default_backend() == "tpu"
                  and not (training and cfg.attn_drop_rate > 0))
+    probs = None
     if use_fused:
-        from editor_tpu.ops.fused_attention import fused_attention
-        vt = v.transpose(0, 2, 1, 3)
-        out = fused_attention(qt, kt, vt, cfg.scale)  # [B,H,N,D]
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        from editor_tpu.ops.fused_attention import (attention_from_qkv,
+                                                    attention_from_qkv_probs)
+        if need_probs:
+            out, probs = attention_from_qkv_probs(qkv, H, cfg.scale)
+        else:
+            out = attention_from_qkv(qkv, H, cfg.scale)  # [B,N,C]
     else:
         # einsum straight from [B,N,H,D] — no explicit head transposes;
         # accumulate in at-least-f32 (f64 under x64 for parity tests)
+        qkv5 = qkv.reshape(B, N, 3, H, D)
+        q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]  # [B,N,H,D]
         cd = jnp.promote_types(x.dtype, jnp.float32)
         logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                             preferred_element_type=cd) * cfg.scale
@@ -200,11 +205,13 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
         out = jnp.einsum("bhnm,bmhd->bnhd", attn_c, v,
                          preferred_element_type=cd)
         out = out.astype(x.dtype).reshape(B, N, C)
+        if need_probs:
+            probs = attn.astype(x.dtype)
     out = linear(p["proj"], out)
     if training and cfg.drop_rate > 0 and rng is not None:
         _, sub = jax.random.split(rng)
         out = dropout(sub, out, cfg.drop_rate, training)
-    return out, (qt, kt)
+    return out, probs
 
 
 def _mlp(p: dict, x: Array, training: bool, rate: float,
@@ -288,16 +295,17 @@ def vit_apply(
         r1 = r2 = r3 = None
         if have_rng:
             r1, r2, r3 = jax.random.split(lrng, 3)
-        mid, qk = _attention(bp["attn"], layernorm(bp["norm1"], xs, cfg.ln_eps),
-                             cfg, training, r3)
+        mid, probs = _attention(bp["attn"],
+                                layernorm(bp["norm1"], xs, cfg.ln_eps),
+                                cfg, training, r3, need_probs=collect_rollout)
         xs = xs + _drop_path_scan(r1, mid, rate, training)
         xs = xs + _drop_path_scan(
             r2, _mlp(bp["mlp"], layernorm(bp["norm2"], xs, cfg.ln_eps),
                      training, cfg.drop_rate, r3), rate, training)
-        return xs, (qk if collect_rollout else None)
+        return xs, probs
 
     scan_body = jax.checkpoint(body) if cfg.remat else body
-    tokens, qks = jax.lax.scan(
+    tokens, probs = jax.lax.scan(
         scan_body, tokens, (params["blocks"], dpr, layer_rngs))
     tokens = layernorm(params["norm"], tokens, cfg.ln_eps)
     if not collect_rollout:
@@ -305,10 +313,13 @@ def vit_apply(
 
     # Attention rollout: Part_Attention needs only the cls ROW of the full
     # chain product P = A_L @ ... @ A_1 (SFTS.py:150-153) = a reverse vector
-    # chain e0ᵀ A_L ... A_1 — recomputed from the saved per-layer (q, k) by
-    # the fused kernel (softmax stays in VMEM; nothing [N,N]-sized touches
-    # HBM). Gradient-free: the rollout only feeds a discrete top-k.
-    qs, ks = qks  # each [L, B, H, N, D] — stacked pre-transposed by the scan
-    from editor_tpu.ops.rollout import attention_rollout
-    rollout_cls = attention_rollout(qs, ks, cfg.scale)
+    # chain over the per-layer prob maps the scan stacked. The fused TPU
+    # path stacks them in split (patch, cls) form — see ops/fused_attention.
+    # Gradient-free: the rollout only feeds a discrete top-k.
+    from editor_tpu.ops.rollout import (rollout_from_probs,
+                                        rollout_from_split_probs)
+    if isinstance(probs, tuple):
+        rollout_cls = rollout_from_split_probs(*probs)
+    else:
+        rollout_cls = rollout_from_probs(probs)
     return tokens, rollout_cls

@@ -1,12 +1,24 @@
 """Fused self-attention kernel for the ViT backbone (short-sequence regime).
 
-N=129 tokens is far below flash-attention territory: the whole [N, N] logits
-tile fits in VMEM, so the win is simply *never writing logits or probs to
-HBM*. XLA materializes ~3 padded [B,H,N,N] tensors per layer (logits fp32,
-probs, bf16 cast ≈ 3.6 ms/layer at B=192); this kernel reads q/k/v once,
-does logits→softmax→AV entirely on-chip, and writes only the [N, D] output.
-Each grid step processes ``G`` (batch·head) pairs to amortize grid overhead
-over enough MXU work.
+N=129 tokens is far below flash-attention territory: the whole per-head
+[N, N] logits tile fits in VMEM, so the wins are layout wins:
+
+  * The kernel consumes the RAW QKV projection output ``[B, N, 3C]`` and
+    produces ``[B, N, C]`` ready for the output projection — the usual
+    ``[B,N,H,D] -> [B,H,N,D]`` head transposes (and their ~0.7 GB/layer of
+    padded HBM round-trips at the flagship batch: D=64 pads to 128 lanes)
+    never exist. Heads are peeled off with static 64-lane slices in VMEM.
+  * 129 = 1 cls + 128 patch tokens. A [*, 129]-minor tensor pads to 256
+    VMEM lanes — 2x wasted VPU softmax work and 2x wasted HBM traffic on
+    any stored [N, N] map. Softmax is therefore computed in SPLIT form:
+    patch-key logits [*, N, 128] (lane-exact) plus a cls-key column [*, N]
+    folded in on the side. Identical math, half the padded footprint. The
+    optional probs spill for the attention rollout (ops/rollout.py) is
+    stored in the same split form.
+  * Dots take bf16 operands with ``preferred_element_type`` fp32 — bf16
+    inputs on the MXU with fp32 accumulation. (Casting operands to fp32
+    *before* the dot forces multi-pass fp32 MXU emulation, several times
+    slower for identical results: bf16·bf16 products are exact in fp32.)
 
 Backward: recompute via the XLA graph under ``jax.custom_vjp`` (same math,
 fp32 softmax — gradients don't need the kernel's speed).
@@ -15,6 +27,7 @@ fp32 softmax — gradients don't need the kernel's speed).
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,70 +35,183 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+# ---------------------------------------------------------------------------
+# XLA reference path (CPU tests, backward recompute)
+# ---------------------------------------------------------------------------
+
+def _xla_attention_qkv(qkv: Array, num_heads: int, scale: float,
+                       with_probs: bool):
+    """qkv: [B, N, 3C] -> out [B, N, C] (+ optional split probs)."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    qkv5 = qkv.reshape(B, N, 3, H, D)
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]  # [B,N,H,D]
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(qkv.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(qkv.dtype).reshape(B, N, C)
+    if not with_probs:
+        return out
+    attn = attn.astype(qkv.dtype)
+    return out, (attn[:, :, :, 1:], attn[:, :, :, 0])
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, group):
-    # one batched dot over the G pairs — Mosaic schedules the per-pair MXU
-    # tiles back-to-back, better than a python loop of tiny dots
-    q = q_ref[...].astype(jnp.float32)  # [G, N, D]
-    k = k_ref[...].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _head_split_softmax_av(q, k, v, scale):
+    """Split-form softmax(q·kᵀ)·v for one [G, N, D] head (N = 1 cls + P).
+
+    Returns (out [G,N,D] fp32, p_patch [G,N,P] fp32, p_cls [G,N] fp32).
+    """
+    kp = k[:, 1:, :]   # [G, P, D] patch keys
+    # patch-key logits on the MXU: [G, N, P] — P=128 is lane-exact
+    lp = jax.lax.dot_general(
+        q, kp, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        attn, v_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # cls-key column on the VPU: sum_d q[g,n,d] * k[g,0,d] -> [G, N]
+    lc = jnp.sum(q.astype(jnp.float32) * k[:, 0:1, :].astype(jnp.float32),
+                 axis=-1) * scale
+    m = jnp.maximum(jnp.max(lp, axis=-1), lc)  # [G, N] row max
+    ep = jnp.exp(lp - m[:, :, None])
+    ec = jnp.exp(lc - m)
+    inv = 1.0 / (jnp.sum(ep, axis=-1) + ec)  # [G, N]
+    p_patch = ep * inv[:, :, None]
+    p_cls = ec * inv
+    out = jax.lax.dot_general(
+        p_patch.astype(v.dtype), v[:, 1:, :], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out = out + p_cls[:, :, None] * v[:, 0:1, :].astype(jnp.float32)
+    return out, p_patch, p_cls
 
 
-def _pallas_attention(q: Array, k: Array, v: Array, scale: float,
-                      group: int = 16) -> Array:
+def _qkv_kernel(qkv_ref, o_ref, *, scale, H, D, with_probs,
+                pp_ref=None, pc_ref=None):
+    blk = qkv_ref[...]  # [G, N, 3C] bf16, heads packed in lanes
+    C = H * D
+    outs = []
+    for h in range(H):
+        q = blk[:, :, h * D:(h + 1) * D]
+        k = blk[:, :, C + h * D:C + (h + 1) * D]
+        v = blk[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        out, pph, pch = _head_split_softmax_av(q, k, v, scale)
+        outs.append(out.astype(o_ref.dtype))
+        if with_probs:
+            pp_ref[:, h] = pph.astype(pp_ref.dtype)
+            pc_ref[:, h] = pch.astype(pc_ref.dtype)
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def _kernel_probs(qkv_ref, o_ref, pp_ref, pc_ref, *, scale, H, D):
+    _qkv_kernel(qkv_ref, o_ref, scale=scale, H=H, D=D, with_probs=True,
+                pp_ref=pp_ref, pc_ref=pc_ref)
+
+
+def _kernel_noprobs(qkv_ref, o_ref, *, scale, H, D):
+    _qkv_kernel(qkv_ref, o_ref, scale=scale, H=H, D=D, with_probs=False)
+
+
+def _pick_group(B: int, group: int) -> int:
+    g = group
+    while B % g:
+        g //= 2
+    return max(g, 1)
+
+
+def _pallas_attention_qkv(qkv: Array, num_heads: int, scale: float,
+                          with_probs: bool, group: int = 4):
     import jax.experimental.pallas as pl
 
-    B, H, N, D = q.shape
-    Z = B * H
-    g = group
-    while Z % g:
-        g //= 2
-    qf = q.reshape(Z, N, D)
-    kf = k.reshape(Z, N, D)
-    vf = v.reshape(Z, N, D)
-    kernel = functools.partial(_kernel, scale=scale, group=g)
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    P = N - 1
+    g = _pick_group(B, group)
+    grid = (B // g,)
+    in_specs = [pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0))]
+    if with_probs:
+        out, pp, pc = pl.pallas_call(
+            functools.partial(_kernel_probs, scale=scale, H=H, D=D),
+            out_shape=(jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+                       jax.ShapeDtypeStruct((B, H, N, P), qkv.dtype),
+                       jax.ShapeDtypeStruct((B, H, N), qkv.dtype)),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec((g, N, C), lambda i: (i, 0, 0)),
+                       pl.BlockSpec((g, H, N, P), lambda i: (i, 0, 0, 0)),
+                       pl.BlockSpec((g, H, N), lambda i: (i, 0, 0))),
+        )(qkv)
+        return out, (pp, pc)
     out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Z, N, D), q.dtype),
-        grid=(Z // g,),
-        in_specs=[pl.BlockSpec((g, N, D), lambda i: (i, 0, 0))] * 3,
-        out_specs=pl.BlockSpec((g, N, D), lambda i: (i, 0, 0)),
-    )(qf, kf, vf)
-    return out.reshape(B, H, N, D)
+        functools.partial(_kernel_noprobs, scale=scale, H=H, D=D),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, N, C), lambda i: (i, 0, 0)),
+    )(qkv)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
-    """softmax(q·kᵀ·scale)·v for [B, H, N, D] inputs — fused on TPU."""
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def attention_from_qkv(qkv: Array, num_heads: int, scale: float) -> Array:
+    """Multi-head softmax attention from the raw QKV projection.
+
+    qkv: [B, N, 3C] laid out [q_h0..q_hH | k_h0.. | v_h0..] (the natural
+    ``x @ W_qkv`` output). Returns [B, N, C].
+    """
     if jax.default_backend() == "tpu":
-        return _pallas_attention(q, k, v, scale)
-    return _xla_attention(q, k, v, scale)
+        return _pallas_attention_qkv(qkv, num_heads, scale, with_probs=False)
+    return _xla_attention_qkv(qkv, num_heads, scale, with_probs=False)
 
 
-def _fwd(q, k, v, scale):
-    return fused_attention(q, k, v, scale), (q, k, v)
+def _fwd(qkv, num_heads, scale):
+    return attention_from_qkv(qkv, num_heads, scale), qkv
 
 
-def _bwd(scale, res, grad):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale),
-                     q, k, v)
+def _bwd(num_heads, scale, qkv, grad):
+    _, vjp = jax.vjp(
+        lambda t: _xla_attention_qkv(t, num_heads, scale, with_probs=False),
+        qkv)
     return vjp(grad)
 
 
-fused_attention.defvjp(_fwd, _bwd)
+attention_from_qkv.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def attention_from_qkv_probs(qkv: Array, num_heads: int, scale: float
+                             ) -> Tuple[Array, Tuple[Array, Array]]:
+    """Like :func:`attention_from_qkv` but also returns the post-softmax
+    probabilities in split form ``(p_patch [B,H,N,N-1], p_cls [B,H,N])``
+    (in qkv.dtype) for the rollout chain (editor_tpu/ops/rollout.py).
+
+    The probs output is GRADIENT-FREE: its cotangent is discarded by the
+    custom VJP (it only ever feeds the discrete top-k token selection, which
+    has no gradient — callers must not differentiate through it).
+    """
+    if jax.default_backend() == "tpu":
+        return _pallas_attention_qkv(qkv, num_heads, scale, with_probs=True)
+    return _xla_attention_qkv(qkv, num_heads, scale, with_probs=True)
+
+
+def _fwd_probs(qkv, num_heads, scale):
+    return attention_from_qkv_probs(qkv, num_heads, scale), qkv
+
+
+def _bwd_probs(num_heads, scale, qkv, grads):
+    g_out, _g_probs = grads  # probs cotangent intentionally dropped (top-k)
+    _, vjp = jax.vjp(
+        lambda t: _xla_attention_qkv(t, num_heads, scale, with_probs=False),
+        qkv)
+    return vjp(g_out)
+
+
+attention_from_qkv_probs.defvjp(_fwd_probs, _bwd_probs)

@@ -5,26 +5,38 @@ per-token boolean masks, attention logits are filled with -65504 where
 ``mask_q & mask_k`` is false, softmaxed, and rows re-multiplied by the query
 mask. The reference materializes the [B,H,N,N] mask outer product and calls
 ``masked_fill`` (separate cuDNN kernels); here a single Pallas kernel keeps
-q/k/v + logits in VMEM, fuses the bias/softmax/re-mask, and hits the MXU for
-both matmuls. An XLA fallback (identical numerics) covers CPU tests and the
-backward pass (the kernel wraps the fallback via ``jax.custom_vjp`` residual
-recompute when differentiated — forward-only inference uses the kernel).
+the whole computation in VMEM.
 
-N for EDITOR fusion is 3·(1+128)=387; the wrapper zero-pads the token axis to
-a lane-friendly multiple and the padded rows are exactly zeroed by the mask
-algebra (padded queries: uniform softmax × mask 0 → 0).
+Layout design (same discipline as ops/fused_attention.py):
+  * The kernel consumes the RAW QKV projection output ``[B, N, 3C]`` and
+    produces ``[B, N, C]`` — no [B,H,N,D] head transposes ever touch HBM.
+    Heads are peeled off with static 64-lane slices in VMEM.
+  * EDITOR's fusion sequences are 1 or 3 tiles of (1 cls + 128 patch)
+    tokens (N = 129 or 387). A [*, N]-minor tensor pads its VMEM lanes to
+    256/512; the kernel instead computes per-tile patch-key logits
+    [*, N, 128] (lane-exact) plus one cls-key column per tile — identical
+    math, no padded softmax work.
+  * Dots take bf16 operands with fp32 accumulation (casting operands to
+    fp32 first would force slow multi-pass fp32 MXU emulation).
+
+An XLA fallback (identical numerics) covers CPU tests and the backward pass
+(``jax.custom_vjp`` residual recompute — forward-only inference uses the
+kernel).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
 
+
+# ---------------------------------------------------------------------------
+# XLA reference paths
+# ---------------------------------------------------------------------------
 
 def _xla_masked_attention(q: Array, k: Array, v: Array, mask: Array,
                           scale: float, mask_fill: float) -> Array:
@@ -41,103 +53,150 @@ def _xla_masked_attention(q: Array, k: Array, v: Array, mask: Array,
     return out.astype(q.dtype)
 
 
-def _pallas_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, mask_fill):
-    # batched over the G (batch·head) pairs of this grid step
-    q = q_ref[...].astype(jnp.float32)  # [G, N, D]
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...]
-    m = mask_ref[...].astype(jnp.float32)  # [G, 1, N]
-    logits = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale  # [G, N, N]
-    pair = m.transpose(0, 2, 1) * m  # [G, N, N] (query-row x key-col mask)
-    logits = jnp.where(pair == 0.0, mask_fill, logits)
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    attn = attn * m.transpose(0, 2, 1)  # re-mask query rows
-    out = jax.lax.dot_general(
-        attn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out_ref[...] = out.astype(out_ref.dtype)
+def _xla_masked_from_qkv(qkv: Array, mask: Array, num_heads: int,
+                         scale: float, mask_fill: float) -> Array:
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    qkv5 = qkv.reshape(B, N, 3, H, D)
+    q = qkv5[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv5[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv5[:, :, 2].transpose(0, 2, 1, 3)
+    out = _xla_masked_attention(q, k, v, mask, scale, mask_fill)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
-def _pallas_masked_attention(q: Array, k: Array, v: Array, mask: Array,
-                             scale: float, mask_fill: float,
-                             interpret: bool = False,
-                             group: int = 8) -> Array:
+# ---------------------------------------------------------------------------
+# Pallas kernel (tiled split softmax)
+# ---------------------------------------------------------------------------
+
+def _qkv_masked_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill,
+                       tile, n_tiles):
+    blk = qkv_ref[...]                          # [g, N, 3C]
+    mq = m_ref[...][:, 0, :].astype(jnp.float32)  # [g, N] query-row mask
+    C = H * D
+    # per-tile key masks: patch block + cls column
+    mps = [mq[:, t * tile + 1:(t + 1) * tile] for t in range(n_tiles)]
+    mcs = [mq[:, t * tile:t * tile + 1] for t in range(n_tiles)]
+    for h in range(H):
+        q = blk[:, :, h * D:(h + 1) * D]
+        k = blk[:, :, C + h * D:C + (h + 1) * D]
+        v = blk[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        lps, lcs = [], []
+        for t in range(n_tiles):
+            kp = k[:, t * tile + 1:(t + 1) * tile, :]   # [g, P, D]
+            lp = jax.lax.dot_general(
+                q, kp, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # [g, N, P]
+            pair = mq[:, :, None] * mps[t][:, None, :]
+            lps.append(jnp.where(pair == 0.0, fill, lp))
+            kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
+            lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale  # [g,N]
+            lcs.append(jnp.where(mq * mcs[t] == 0.0, fill, lc))
+        mx = lcs[0]
+        for lc in lcs[1:]:
+            mx = jnp.maximum(mx, lc)
+        for lp in lps:
+            mx = jnp.maximum(mx, jnp.max(lp, axis=-1))
+        eps = [jnp.exp(lp - mx[:, :, None]) for lp in lps]
+        ecs = [jnp.exp(lc - mx) for lc in lcs]
+        denom = ecs[0] + sum(ecs[1:])
+        for ep in eps:
+            denom = denom + jnp.sum(ep, axis=-1)
+        # fold the post-softmax query-row re-mask into the normalization
+        rw = mq / denom                                   # [g, N]
+        acc = None
+        for t in range(n_tiles):
+            pp = (eps[t] * rw[:, :, None]).astype(v.dtype)
+            vp = v[:, t * tile + 1:(t + 1) * tile, :]
+            part = jax.lax.dot_general(
+                pp, vp, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            pc = ecs[t] * rw
+            part = part + pc[:, :, None] * (
+                v[:, t * tile:t * tile + 1, :].astype(jnp.float32))
+            acc = part if acc is None else acc + part
+        o_ref[:, :, h * D:(h + 1) * D] = acc.astype(o_ref.dtype)
+
+
+def _pallas_masked_from_qkv(qkv: Array, mask: Array, num_heads: int,
+                            scale: float, mask_fill: float, tile: int,
+                            group: int = 0) -> Array:
     import jax.experimental.pallas as pl
 
-    B, H, N, D = q.shape
-    # blocks carry the full token axis, so it only needs sublane (8) alignment
-    pad_n = (-N) % 8
-    if pad_n:
-        zpad = [(0, 0), (0, 0), (0, pad_n), (0, 0)]
-        q = jnp.pad(q, zpad)
-        k = jnp.pad(k, zpad)
-        v = jnp.pad(v, zpad)
-        mask = jnp.pad(mask, [(0, 0), (0, pad_n)])
-    Np = N + pad_n
-    Z = B * H
-    g = group
-    while Z % g:
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    n_tiles = N // tile
+    # scoped VMEM is 16MB on v5e: the [g, N, 3C] block + fp32 logits pieces
+    # cap the rows per grid step (N=129 fits g=4; N=387 needs g=1)
+    g = group or (4 if N <= 192 else 1)
+    while B % g:
         g //= 2
-    qf = q.reshape(Z, Np, D)
-    kf = k.reshape(Z, Np, D)
-    vf = v.reshape(Z, Np, D)
-    mf = jnp.repeat(mask, H, axis=0)[:, None, :]  # [Z, 1, Np]
-
-    kernel = functools.partial(_pallas_kernel, scale=scale, mask_fill=mask_fill)
-    out = pl.pallas_call(
+    kernel = functools.partial(
+        _qkv_masked_kernel, scale=scale, H=H, D=D, fill=mask_fill,
+        tile=tile, n_tiles=n_tiles)
+    # mask rides as [B, 1, N] so the block's last-two dims are full-extent
+    # (Mosaic's divisible-by-(8,128) rule exempts full dims, not g)
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Z, Np, D), q.dtype),
-        grid=(Z // g,),
-        in_specs=[
-            pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, 1, Np), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((g, Np, D), lambda i: (i, 0, 0)),
-        interpret=interpret,
-    )(qf, kf, vf, mf)
-    out = out.reshape(B, H, Np, D)
-    return out[:, :, :N, :]
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((g, 1, N), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, N, C), lambda i: (i, 0, 0)),
+    )(qkv, mask.astype(qkv.dtype)[:, None, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _masked_attention_tpu(q, k, v, mask, scale, mask_fill):
-    return _pallas_masked_attention(q, k, v, mask, scale, mask_fill)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill, tile):
+    return _pallas_masked_from_qkv(qkv, mask, num_heads, scale, mask_fill,
+                                   tile)
 
 
-def _fwd(q, k, v, mask, scale, mask_fill):
-    out = _pallas_masked_attention(q, k, v, mask, scale, mask_fill)
-    return out, (q, k, v, mask)
+def _fwd(qkv, mask, num_heads, scale, mask_fill, tile):
+    out = _pallas_masked_from_qkv(qkv, mask, num_heads, scale, mask_fill,
+                                  tile)
+    return out, (qkv, mask)
 
 
-def _bwd(scale, mask_fill, res, g):
-    q, k, v, mask = res
+def _bwd(num_heads, scale, mask_fill, tile, res, g):
+    qkv, mask = res
     # recompute-based backward through the XLA path (identical math)
     _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_masked_attention(q_, k_, v_, mask, scale, mask_fill),
-        q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+        lambda t: _xla_masked_from_qkv(t, mask, num_heads, scale, mask_fill),
+        qkv)
+    (dqkv,) = vjp(g)
+    return dqkv, None
 
 
-_masked_attention_tpu.defvjp(_fwd, _bwd)
+_masked_qkv_tpu.defvjp(_fwd, _bwd)
+
+
+def masked_attention_from_qkv(qkv: Array, mask: Array, num_heads: int,
+                              scale: float, mask_fill: float = -65504.0,
+                              tile: int = 129,
+                              use_pallas: bool = True) -> Array:
+    """Masked attention from the raw QKV projection.
+
+    qkv: [B, N, 3C] (the natural ``x @ W_qkv`` output); mask: [B, N]
+    (1 = keep); N must be ``n_tiles * tile`` with ``tile = 1 + P`` tokens
+    per modality tile. Returns [B, N, C].
+    """
+    B, N, C3 = qkv.shape
+    on_tpu = jax.default_backend() == "tpu"
+    tileable = tile and N % tile == 0 and (tile - 1) % 128 == 0
+    if use_pallas and on_tpu and tileable:
+        return _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill, tile)
+    return _xla_masked_from_qkv(qkv, mask, num_heads, scale, mask_fill)
 
 
 def masked_attention(q: Array, k: Array, v: Array, mask: Array,
                      scale: float, mask_fill: float = -65504.0,
                      use_pallas: bool = True) -> Array:
-    """Masked attention. q/k/v: [B, H, N, D]; mask: [B, N] (1=keep).
-
-    ``use_pallas`` selects the fused TPU kernel when running on TPU; any other
-    backend (or ``use_pallas=False``) uses the XLA graph with identical
-    numerics.
+    """Masked attention on pre-split heads. q/k/v: [B, H, N, D]; mask:
+    [B, N] (1=keep). Kept as the layout-agnostic API (XLA graph); the hot
+    path uses :func:`masked_attention_from_qkv`.
     """
-    on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and on_tpu:
-        return _masked_attention_tpu(q, k, v, mask, scale, mask_fill)
+    del use_pallas
     return _xla_masked_attention(q, k, v, mask, scale, mask_fill)

@@ -1,16 +1,19 @@
-"""Attention-rollout kernel: cls-row of the chain product of per-layer
-attention maps, recomputed from stored (q, k).
+"""Attention rollout: cls-row of the chain product of per-layer attention maps.
 
 The SFTS mask needs row0 of P = A_L @ ... @ A_1 (reference Part_Attention,
-SFTS.py:145-153). Materializing L full [B,H,N,N] probability maps costs
-~1 GB of HBM traffic per tri-modal batch; instead the backbone saves the
-per-layer (q, k) tensors (L·2·N·D ≪ L·N² elements) and this kernel
-recomputes each layer's softmax ON-CHIP while running the reverse vector
-chain v ← v·A_i — one [N,N] logits tile in VMEM at a time, nothing written
-back to HBM but the final [B,H,P] row.
+SFTS.py:145-153). The backbone's fused attention kernel already computes each
+layer's probabilities in VMEM; it spills them once in SPLIT form — patch-key
+columns [*, N, 128] (lane-exact bf16 tiles) plus the cls-key column [*, N] —
+and this module reduces the stack with a reverse *vector* chain
+v <- v . A_i: L·N² flops instead of re-running L softmax(QKᵀ) products, and
+~2 GB of clean HBM reads instead of ~4 GB of 129→256-lane-padded ones.
 
-Gradient-free by construction (the rollout feeds a discrete top-k), so no
-VJP is needed — callers wrap in stop_gradient.
+The chain state is carried split as (v_cls scalar, v_patch [1, 128]) so no
+[*, 129]-minor tensor is ever materialized; the final result IS the patch
+part — exactly what Part_Attention consumes (``last_map[:, :, 0, 1:]``).
+
+Gradient-free by construction (the rollout only feeds a discrete top-k), so
+inputs are stop_gradient-ed here.
 """
 
 from __future__ import annotations
@@ -23,96 +26,99 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _xla_rollout(qs: Array, ks: Array, scale: float) -> Array:
-    """Reference implementation: qs/ks [L, B, H, N, D] → [B, H, N-1]."""
-    L = qs.shape[0]
-    cd = jnp.promote_types(qs.dtype, jnp.float32)
-    logits = jnp.einsum("bhnd,bhmd->bhnm", qs[-1], ks[-1],
-                        preferred_element_type=cd) * scale
-    v = jax.nn.softmax(logits[:, :, 0, :].astype(cd), axis=-1)  # cls row of A_L
+def rollout_from_probs(probs: Array) -> Array:
+    """Full-map chain (CPU/XLA path + test oracle).
 
-    def body(v, qk):
-        q, k = qk
-        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                            preferred_element_type=cd) * scale
-        a = jax.nn.softmax(logits.astype(cd), axis=-1)
-        return jnp.einsum("bhn,bhnm->bhm", v, a,
+    probs: [L, B, H, N, N] per-layer post-softmax attention maps
+    (row = query). Returns the fp32 [B, H, N-1] rollout cls-row over patch
+    tokens: row0 of A_{L-1} @ ... @ A_0 (reference chain order:
+    ``last_map = att[i] @ last_map``, SFTS.py:148-152).
+    """
+    probs = jax.lax.stop_gradient(probs)
+    cd = jnp.promote_types(probs.dtype, jnp.float32)
+    # cls row of the last layer's map seeds the chain: e0ᵀ A_{L-1}
+    v = probs[-1][:, :, 0, :].astype(cd)  # [B, H, N]
+
+    def body(v, a):
+        return jnp.einsum("bhn,bhnm->bhm", v, a.astype(cd),
                           preferred_element_type=cd), None
 
-    v, _ = jax.lax.scan(body, v, (qs[:-1], ks[:-1]), reverse=True)
+    v, _ = jax.lax.scan(body, v, probs[:-1], reverse=True)
     return v[:, :, 1:]
 
 
-def _rollout_kernel(q_ref, k_ref, out_ref, *, scale, num_layers, group):
-    # q_ref/k_ref: [L, G, N, D] for G (b·h) pairs; out_ref: [G, 1, N]
-    def softmaxed(l):
-        q = q_ref[l].astype(jnp.float32)  # [G, N, D]
-        k = k_ref[l].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # [G, N, N]
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits)
-        return e / jnp.sum(e, axis=-1, keepdims=True)
+def _chain_kernel(pp_ref, pc_ref, o_ref, vc_ref, *, L):
+    """One inner-grid step of the reverse chain for G (b·h) pairs.
 
-    # last layer: only the cls ROW of A_L is needed — [G,1,D]·[G,N,D]ᵀ
-    q0 = q_ref[num_layers - 1][:, 0:1, :].astype(jnp.float32)
-    kL = k_ref[num_layers - 1].astype(jnp.float32)
-    l0 = jax.lax.dot_general(
-        q0, kL, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale  # [G, 1, N]
-    l0 = l0 - jnp.max(l0, axis=-1, keepdims=True)
-    e0 = jnp.exp(l0)
-    v = e0 / jnp.sum(e0, axis=-1, keepdims=True)  # [G, 1, N] cls rows
-
-    def body(i, v):
-        a = softmaxed(num_layers - 2 - i)
-        return jax.lax.dot_general(v, a, (((2,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=jnp.float32)
-
-    v = jax.lax.fori_loop(0, num_layers - 1, body, v)
-    out_ref[...] = v
-
-
-def _pallas_rollout(qs: Array, ks: Array, scale: float,
-                    group: int = 8) -> Array:
+    pp_ref: [1, G, N, P] this step's patch-key probs (layer L-1-l),
+    pc_ref: [1, G, N] its cls-key column, o_ref: [G, 1, P] resident
+    v_patch accumulator, vc_ref: [G, 1] v_cls scratch.
+    With A = [cls_col | patch_cols]: v' = v·A splits into
+      v'_cls   = v_cls·A[0,0]  + Σ_p v_patch[p]·A[1+p,0]
+      v'_patch = v_cls·A[0,1:] + v_patch @ A[1:,1:]
+    """
     import jax.experimental.pallas as pl
 
-    L, B, H, N, D = qs.shape
+    l = pl.program_id(1)
+    ap = pp_ref[0]  # [G, N, P]
+    ac = pc_ref[0]  # [G, N]
+
+    @pl.when(l == 0)
+    def _seed():
+        # row 0 of the LAST layer's map
+        o_ref[...] = ap[:, 0:1, :].astype(jnp.float32)
+        vc_ref[...] = ac[:, 0:1].astype(jnp.float32)
+
+    @pl.when(l > 0)
+    def _step():
+        vp = o_ref[...]              # [G, 1, P] fp32
+        vc = vc_ref[...]             # [G, 1] fp32
+        apf = ap.astype(jnp.float32)
+        acf = ac.astype(jnp.float32)
+        new_vc = (vc[:, 0] * acf[:, 0]
+                  + jnp.sum(vp[:, 0, :] * acf[:, 1:], axis=-1))  # [G]
+        new_vp = (vc[:, :, None] * apf[:, 0:1, :]
+                  + jax.lax.dot_general(
+                      vp, apf[:, 1:, :], (((2,), (1,)), ((0,), (0,))),
+                      preferred_element_type=jnp.float32))
+        o_ref[...] = new_vp
+        vc_ref[...] = new_vc[:, None]
+
+
+def _pallas_chain_split(pp: Array, pc: Array, group: int = 8) -> Array:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, B, H, N, P = pp.shape
     Z = B * H
     g = group
     while Z % g:
         g //= 2
-    qf = qs.reshape(L, Z, N, D)
-    kf = ks.reshape(L, Z, N, D)
-    kernel = functools.partial(_rollout_kernel, scale=scale, num_layers=L,
-                               group=g)
+    ppf = pp.reshape(L, Z, N, P)
+    pcf = pc.reshape(L, Z, N)
     out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Z, 1, N), jnp.float32),
-        grid=(Z // g,),
+        functools.partial(_chain_kernel, L=L),
+        out_shape=jax.ShapeDtypeStruct((Z, 1, P), jnp.float32),
+        grid=(Z // g, L),
         in_specs=[
-            pl.BlockSpec((L, g, N, D), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((L, g, N, D), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((1, g, N, P), lambda i, l: (L - 1 - l, i, 0, 0)),
+            pl.BlockSpec((1, g, N), lambda i, l: (L - 1 - l, i, 0)),
         ],
-        out_specs=pl.BlockSpec((g, 1, N), lambda i: (i, 0, 0)),
-    )(qf, kf)
-    return out.reshape(B, H, N)[:, :, 1:]
+        out_specs=pl.BlockSpec((g, 1, P), lambda i, l: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((g, 1), jnp.float32)],
+    )(ppf, pcf)
+    return out.reshape(B, H, P)
 
 
-def attention_rollout(qs: Array, ks: Array, scale: float,
-                      use_pallas: bool = False) -> Array:
-    """qs/ks: [L, B, H, N, D] per-layer queries/keys (pre-softmax, pre-scale).
-    Returns the fp32 [B, H, N-1] rollout cls-row over patch tokens.
-
-    Default path is the XLA recompute chain: measured faster than the
-    per-(b,h) Pallas kernel (grid of 2304 tiny M=1 matmuls under-feeds the
-    MXU), while still avoiding the L stacked prob maps in HBM.
+def rollout_from_split_probs(pp: Array, pc: Array) -> Array:
+    """Split-form chain. pp: [L, B, H, N, N-1] patch-key probs; pc:
+    [L, B, H, N] cls-key column (both per-layer post-softmax rows).
+    Returns fp32 [B, H, N-1] — the patch part of the rollout cls row.
     """
-    import os
-    qs = jax.lax.stop_gradient(qs)
-    ks = jax.lax.stop_gradient(ks)
-    choice = os.environ.get("EDITOR_TPU_ROLLOUT", "pallas" if use_pallas else "xla")
-    if choice == "pallas" and jax.default_backend() == "tpu":
-        return _pallas_rollout(qs, ks, scale)
-    return _xla_rollout(qs, ks, scale)
+    pp = jax.lax.stop_gradient(pp)
+    pc = jax.lax.stop_gradient(pc)
+    if jax.default_backend() == "tpu":
+        return _pallas_chain_split(pp, pc)
+    # reassemble full maps (non-TPU fallback; tiny shapes in tests)
+    probs = jnp.concatenate([pc[..., None], pp], axis=-1)
+    return rollout_from_probs(probs)

@@ -53,15 +53,14 @@ def test_rollout_matches_naive_chain(small_cfg):
     maps = []
     for i in range(cfg.depth):
         bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
-        mid, (q, k) = _attention(bp["attn"],
-                                 layernorm(bp["norm1"], tokens, cfg.ln_eps),
-                                 cfg, False, None)
+        # _attention returns the post-softmax probability map [B, H, N, N]
+        mid, probs = _attention(bp["attn"],
+                                layernorm(bp["norm1"], tokens, cfg.ln_eps),
+                                cfg, False, None)
         tokens = tokens + mid
         tokens = tokens + _mlp(bp["mlp"], layernorm(bp["norm2"], tokens, cfg.ln_eps),
                                False, 0.0, None)
-        # _attention returns (q, k) pre-transposed to [B, H, N, D]
-        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * cfg.scale
-        maps.append(jax.nn.softmax(logits, axis=-1))
+        maps.append(probs)
     last = maps[0]
     for m in maps[1:]:
         last = jnp.einsum("bhnm,bhmk->bhnk", m, last)

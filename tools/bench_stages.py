@@ -19,10 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=10, warmup=2):
+def timeit(fn, *args, iters=30, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)  # sync
+    # pre-compile the readback barrier too (first jnp.sum costs ~400ms on the
+    # tunneled platform and would otherwise pollute the measurement)
+    leaves = jax.tree_util.tree_leaves(out)
+    float(jnp.sum(leaves[0]))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
