@@ -122,6 +122,92 @@ def _pick_group(B: int, group: int) -> int:
     return max(g, 1)
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward kernel
+# ---------------------------------------------------------------------------
+
+def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, H, D):
+    """d(softmax(q·kᵀ·scale)·v)/d(qkv): recompute the split softmax in VMEM,
+    then the standard softmax VJP, all in the [*, N, 3C] qkv layout."""
+    blk = qkv_ref[...]   # [g, N, 3C]
+    go = g_ref[...]      # [g, N, C]
+    C = H * D
+    for h in range(H):
+        q = blk[:, :, h * D:(h + 1) * D]
+        k = blk[:, :, C + h * D:C + (h + 1) * D]
+        v = blk[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        gh = go[:, :, h * D:(h + 1) * D]          # [g, N, D]
+        kp, vp = k[:, 1:, :], v[:, 1:, :]          # [g, P, D]
+        # --- recompute split softmax (same math as forward) ---
+        lp = jax.lax.dot_general(
+            q, kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale        # [g, N, P]
+        lc = jnp.sum(q.astype(jnp.float32) * k[:, 0:1, :].astype(jnp.float32),
+                     axis=-1) * scale                          # [g, N]
+        m = jnp.maximum(jnp.max(lp, axis=-1), lc)
+        ep = jnp.exp(lp - m[:, :, None])
+        ec = jnp.exp(lc - m)
+        inv = 1.0 / (jnp.sum(ep, axis=-1) + ec)
+        pp = ep * inv[:, :, None]                              # [g, N, P]
+        pc = ec * inv                                          # [g, N]
+        ppb = pp.astype(blk.dtype)
+        # --- dv: pᵀ @ g ---
+        dvp = jax.lax.dot_general(
+            ppb, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # [g, P, D]
+        dvc = jnp.sum(pc[:, :, None]
+                      * gh.astype(jnp.float32), axis=1)        # [g, D]
+        # --- dp = g @ vᵀ ---
+        dpp = jax.lax.dot_general(
+            gh, vp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # [g, N, P]
+        dpc = jnp.sum(gh.astype(jnp.float32)
+                      * v[:, 0:1, :].astype(jnp.float32), axis=-1)  # [g, N]
+        # --- softmax VJP: dl = p ∘ (dp - Σ dp∘p) ---
+        r = jnp.sum(dpp * pp, axis=-1) + dpc * pc              # [g, N]
+        dlp = (pp * (dpp - r[:, :, None]) * scale).astype(blk.dtype)
+        dlc = pc * (dpc - r) * scale                           # [g, N] fp32
+        # --- dq = dl @ k ---
+        dq = jax.lax.dot_general(
+            dlp, kp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq = dq + dlc[:, :, None] * k[:, 0:1, :].astype(jnp.float32)
+        # --- dk = dlᵀ @ q ---
+        dkp = jax.lax.dot_general(
+            dlp, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # [g, P, D]
+        dkc = jnp.sum(dlc[:, :, None]
+                      * q.astype(jnp.float32), axis=1)         # [g, D]
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, h * D:(h + 1) * D] = dq.astype(dt)
+        # dk/dv row 0 (cls key) and rows 1..P (patch keys) stored separately
+        # (Mosaic cannot lower a sublane concat of [g,1,D] with [g,P,D])
+        dqkv_ref[:, 0:1, C + h * D:C + (h + 1) * D] = dkc[:, None, :].astype(dt)
+        dqkv_ref[:, 1:, C + h * D:C + (h + 1) * D] = dkp.astype(dt)
+        dqkv_ref[:, 0:1, 2 * C + h * D:2 * C + (h + 1) * D] = (
+            dvc[:, None, :].astype(dt))
+        dqkv_ref[:, 1:, 2 * C + h * D:2 * C + (h + 1) * D] = dvp.astype(dt)
+
+
+def _pallas_attention_qkv_bwd(qkv: Array, g_out: Array, num_heads: int,
+                              scale: float, group: int = 2) -> Array:
+    import jax.experimental.pallas as pl
+
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    g = _pick_group(B, group)
+    dqkv = pl.pallas_call(
+        functools.partial(_qkv_bwd_kernel, scale=scale, H=H, D=D),
+        out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((g, N, C), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+    )(qkv, g_out)
+    return dqkv
+
+
 def _pallas_attention_qkv(qkv: Array, num_heads: int, scale: float,
                           with_probs: bool, group: int = 4):
     import jax.experimental.pallas as pl
@@ -177,6 +263,8 @@ def _fwd(qkv, num_heads, scale):
 
 
 def _bwd(num_heads, scale, qkv, grad):
+    if jax.default_backend() == "tpu":
+        return (_pallas_attention_qkv_bwd(qkv, grad, num_heads, scale),)
     _, vjp = jax.vjp(
         lambda t: _xla_attention_qkv(t, num_heads, scale, with_probs=False),
         qkv)
@@ -208,6 +296,8 @@ def _fwd_probs(qkv, num_heads, scale):
 
 def _bwd_probs(num_heads, scale, qkv, grads):
     g_out, _g_probs = grads  # probs cotangent intentionally dropped (top-k)
+    if jax.default_backend() == "tpu":
+        return (_pallas_attention_qkv_bwd(qkv, g_out, num_heads, scale),)
     _, vjp = jax.vjp(
         lambda t: _xla_attention_qkv(t, num_heads, scale, with_probs=False),
         qkv)

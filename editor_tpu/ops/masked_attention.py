@@ -148,6 +148,125 @@ def _pallas_masked_from_qkv(qkv: Array, mask: Array, num_heads: int,
     )(qkv, mask.astype(qkv.dtype)[:, None, :])
 
 
+def _qkv_masked_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale, H, D,
+                           fill, tile, n_tiles):
+    """VJP of the masked split softmax·V in the qkv layout: recompute the
+    forward probabilities in VMEM, then the standard softmax VJP. Grads at
+    filled logit positions vanish automatically (their probs underflow to
+    exactly 0 in fp32), matching the XLA ``where``-based backward."""
+    blk = qkv_ref[...]
+    mq = m_ref[...][:, 0, :].astype(jnp.float32)
+    go = g_ref[...]
+    C = H * D
+    dt = dqkv_ref.dtype
+    mps = [mq[:, t * tile + 1:(t + 1) * tile] for t in range(n_tiles)]
+    mcs = [mq[:, t * tile:t * tile + 1] for t in range(n_tiles)]
+    for h in range(H):
+        q = blk[:, :, h * D:(h + 1) * D]
+        k = blk[:, :, C + h * D:C + (h + 1) * D]
+        v = blk[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        gh = go[:, :, h * D:(h + 1) * D]
+        # --- recompute split softmax (same math as forward) ---
+        lps, lcs = [], []
+        for t in range(n_tiles):
+            kp = k[:, t * tile + 1:(t + 1) * tile, :]
+            lp = jax.lax.dot_general(
+                q, kp, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            pair = mq[:, :, None] * mps[t][:, None, :]
+            lps.append(jnp.where(pair == 0.0, fill, lp))
+            kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
+            lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale
+            lcs.append(jnp.where(mq * mcs[t] == 0.0, fill, lc))
+        mx = lcs[0]
+        for lc in lcs[1:]:
+            mx = jnp.maximum(mx, lc)
+        for lp in lps:
+            mx = jnp.maximum(mx, jnp.max(lp, axis=-1))
+        eps = [jnp.exp(lp - mx[:, :, None]) for lp in lps]
+        ecs = [jnp.exp(lc - mx) for lc in lcs]
+        denom = ecs[0] + sum(ecs[1:])
+        for ep in eps:
+            denom = denom + jnp.sum(ep, axis=-1)
+        inv = 1.0 / denom          # pure softmax normalizer
+        rw = mq * inv              # row re-mask folded in (= attn rows)
+        # --- dattn pieces + pure-softmax row correction r0 ---
+        ghf = gh.astype(jnp.float32)
+        r0 = jnp.zeros_like(mx)
+        datps, datcs = [], []
+        for t in range(n_tiles):
+            vp = v[:, t * tile + 1:(t + 1) * tile, :]
+            dat = jax.lax.dot_general(
+                gh, vp, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [g, N, P]
+            datc = jnp.sum(ghf * v[:, t * tile:t * tile + 1, :].astype(
+                jnp.float32), axis=-1)                     # [g, N]
+            datps.append(dat)
+            datcs.append(datc)
+            r0 = r0 + jnp.sum(dat * eps[t], axis=-1) + datc * ecs[t]
+        r0 = r0 * inv              # Σ_j dattn_j p_j
+        # --- dl = attn ∘ (dattn - r0); dq/dk/dv ---
+        dq = None
+        for t in range(n_tiles):
+            attn_p = eps[t] * rw[:, :, None]
+            attn_c = ecs[t] * rw
+            ab = attn_p.astype(blk.dtype)
+            dvp = jax.lax.dot_general(
+                ab, gh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [g, P, D]
+            dvc = jnp.sum(attn_c[:, :, None] * ghf, axis=1)  # [g, D]
+            dlp = (attn_p * (datps[t] - r0[:, :, None]) * scale).astype(
+                blk.dtype)
+            dlc = attn_c * (datcs[t] - r0) * scale         # [g, N] fp32
+            kp = k[:, t * tile + 1:(t + 1) * tile, :]
+            part = jax.lax.dot_general(
+                dlp, kp, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            part = part + dlc[:, :, None] * k[:, t * tile:t * tile + 1,
+                                              :].astype(jnp.float32)
+            dq = part if dq is None else dq + part
+            dkp = jax.lax.dot_general(
+                dlp, q, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [g, P, D]
+            dkc = jnp.sum(dlc[:, :, None] * q.astype(jnp.float32), axis=1)
+            r0_, r1_ = t * tile, t * tile + 1
+            r2_ = (t + 1) * tile
+            dqkv_ref[:, r0_:r1_, C + h * D:C + (h + 1) * D] = (
+                dkc[:, None, :].astype(dt))
+            dqkv_ref[:, r1_:r2_, C + h * D:C + (h + 1) * D] = dkp.astype(dt)
+            dqkv_ref[:, r0_:r1_, 2 * C + h * D:2 * C + (h + 1) * D] = (
+                dvc[:, None, :].astype(dt))
+            dqkv_ref[:, r1_:r2_, 2 * C + h * D:2 * C + (h + 1) * D] = (
+                dvp.astype(dt))
+        dqkv_ref[:, :, h * D:(h + 1) * D] = dq.astype(dt)
+
+
+def _pallas_masked_qkv_bwd(qkv: Array, mask: Array, g_out: Array,
+                           num_heads: int, scale: float, mask_fill: float,
+                           tile: int, group: int = 0) -> Array:
+    import jax.experimental.pallas as pl
+
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    n_tiles = N // tile
+    g = group or (2 if N <= 192 else 1)
+    while B % g:
+        g //= 2
+    kernel = functools.partial(
+        _qkv_masked_bwd_kernel, scale=scale, H=H, D=D, fill=mask_fill,
+        tile=tile, n_tiles=n_tiles)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((g, 1, N), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((g, N, C), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+    )(qkv, mask.astype(qkv.dtype)[:, None, :], g_out)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill, tile):
     return _pallas_masked_from_qkv(qkv, mask, num_heads, scale, mask_fill,
@@ -162,6 +281,9 @@ def _fwd(qkv, mask, num_heads, scale, mask_fill, tile):
 
 def _bwd(num_heads, scale, mask_fill, tile, res, g):
     qkv, mask = res
+    if jax.default_backend() == "tpu":
+        return (_pallas_masked_qkv_bwd(qkv, mask, g, num_heads, scale,
+                                       mask_fill, tile), None)
     # recompute-based backward through the XLA path (identical math)
     _, vjp = jax.vjp(
         lambda t: _xla_masked_from_qkv(t, mask, num_heads, scale, mask_fill),

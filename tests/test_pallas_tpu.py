@@ -1,0 +1,96 @@
+"""TPU-only parity tests for the Pallas kernels vs their XLA oracles.
+
+Skipped on CPU runs (the default suite); executed when the suite runs on a
+host with a real TPU (e.g. the bench chip). Tolerances reflect bf16 operand
+rounding — the kernels accumulate in fp32.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+on_tpu = jax.default_backend() == "tpu"
+pytestmark = pytest.mark.skipif(not on_tpu, reason="needs a TPU backend")
+
+H, C = 12, 768
+SCALE = (C // H) ** -0.5
+
+
+def _rand(shape, seed):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.bfloat16)
+
+
+def test_attention_from_qkv_matches_xla():
+    from editor_tpu.ops.fused_attention import (_pallas_attention_qkv,
+                                                _xla_attention_qkv)
+    qkv = _rand((8, 129, 3 * C), 0)
+    ref = _xla_attention_qkv(qkv, H, SCALE, with_probs=False)
+    got = _pallas_attention_qkv(qkv, H, SCALE, with_probs=False)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_attention_probs_split_matches_xla():
+    from editor_tpu.ops.fused_attention import (_pallas_attention_qkv,
+                                                _xla_attention_qkv)
+    qkv = _rand((8, 129, 3 * C), 1)
+    _, (rpp, rpc) = _xla_attention_qkv(qkv, H, SCALE, with_probs=True)
+    _, (gpp, gpc) = _pallas_attention_qkv(qkv, H, SCALE, with_probs=True)
+    np.testing.assert_allclose(np.asarray(gpp, np.float32),
+                               np.asarray(rpp, np.float32), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gpc, np.float32),
+                               np.asarray(rpc, np.float32), atol=1e-2)
+
+
+def test_attention_bwd_matches_xla_vjp():
+    from editor_tpu.ops.fused_attention import (_pallas_attention_qkv_bwd,
+                                                _xla_attention_qkv)
+    qkv = _rand((8, 129, 3 * C), 2)
+    g = _rand((8, 129, C), 3)
+    _, vjp = jax.vjp(
+        lambda t: _xla_attention_qkv(t, H, SCALE, with_probs=False),
+        qkv.astype(jnp.float32))
+    (ref,) = vjp(g.astype(jnp.float32))
+    got = _pallas_attention_qkv_bwd(qkv, g, H, SCALE)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got, np.float32) / scale,
+                               np.asarray(ref) / scale, atol=1e-2)
+
+
+@pytest.mark.parametrize("N", [129, 387])
+def test_masked_attention_fwd_bwd_match_xla(N):
+    from editor_tpu.ops.masked_attention import (_pallas_masked_from_qkv,
+                                                 _pallas_masked_qkv_bwd,
+                                                 _xla_masked_from_qkv)
+    tile = 129
+    qkv = _rand((4, N, 3 * C), 4)
+    g = _rand((4, N, C), 5)
+    m = (jax.random.uniform(jax.random.PRNGKey(6), (4, N)) < 0.1)
+    m = (m | (jnp.arange(N) % tile == 0)[None, :]).astype(jnp.float32)
+    ref = _xla_masked_from_qkv(qkv, m, H, SCALE, -65504.0)
+    got = _pallas_masked_from_qkv(qkv, m, H, SCALE, -65504.0, tile)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+    _, vjp = jax.vjp(
+        lambda t: _xla_masked_from_qkv(t, m, H, SCALE, -65504.0),
+        qkv.astype(jnp.float32))
+    (refg,) = vjp(g.astype(jnp.float32))
+    gotg = _pallas_masked_qkv_bwd(qkv, m, g, H, SCALE, -65504.0, tile)
+    scale = float(jnp.max(jnp.abs(refg)))
+    np.testing.assert_allclose(np.asarray(gotg, np.float32) / scale,
+                               np.asarray(refg) / scale, atol=1e-2)
+
+
+def test_rollout_chain_matches_full_chain():
+    from editor_tpu.ops.rollout import (rollout_from_probs,
+                                        rollout_from_split_probs)
+    L, B, N = 4, 4, 129
+    logits = jax.random.normal(jax.random.PRNGKey(7), (L, B, H, N, N))
+    probs = jax.nn.softmax(logits, -1).astype(jnp.bfloat16)
+    full = rollout_from_probs(probs.astype(jnp.float32))
+    split = rollout_from_split_probs(probs[..., 1:], probs[..., 0])
+    np.testing.assert_allclose(np.asarray(split), np.asarray(full),
+                               atol=5e-3)
