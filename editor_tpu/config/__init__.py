@@ -145,6 +145,10 @@ class TPUConfig:
     GRAD_COMPRESSION: str = "none"  # 'none' | 'fp16' | 'bf16' | 'powersgd'
     POWERSGD_RANK: int = 4
     DONATE: bool = True
+    # also mirror metrics into TensorBoard event files under OUTPUT_DIR/tb
+    # (the reference's SummaryWriter, engine/processor.py:42, minus the
+    # hardcoded path); JSONL remains the primary stream
+    TENSORBOARD: bool = False
 
 
 @dataclass

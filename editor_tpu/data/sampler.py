@@ -100,3 +100,29 @@ class SoftmaxSampler:
         idx = rng.permutation(self.num_items)
         n = (len(idx) // self.batch_size) * self.batch_size
         return idx[:n].astype(np.int64)
+
+
+class CyclingIterator:
+    """Cycle a per-epoch iterator n times (reference
+    elastic/utils/data/cycling_iterator.py): ``generator_fn(epoch)`` builds
+    the k-th cycle's iterator — "unrolls" the dataset across epochs so an
+    elastic training loop can consume one continuous stream."""
+
+    def __init__(self, n: int, generator_fn, start_epoch: int = 0):
+        self._n = n
+        self._epoch = start_epoch
+        self._generator_fn = generator_fn
+        self._iter = generator_fn(self._epoch)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            try:
+                return next(self._iter)
+            except StopIteration:
+                if self._epoch >= self._n - 1:
+                    raise
+                self._epoch += 1
+                self._iter = self._generator_fn(self._epoch)

@@ -49,6 +49,10 @@ def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
         feat_norm=cfg.TEST.FEAT_NORM == "yes",
         reranking=cfg.TEST.RE_RANKING == "yes",
         msvr_protocol=dm.splits.has_sceneid,
+        # MSVR310 rank-list artifact (the reference's `re.txt`,
+        # utils/metrics.py:59-99) — written under OUTPUT_DIR, not cwd
+        rank_list_path=(os.path.join(cfg.OUTPUT_DIR, "re.txt")
+                        if dm.splits.has_sceneid and cfg.OUTPUT_DIR else None),
     )
     total = len(dm.val_items)
     seen = 0
@@ -74,7 +78,7 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
              max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
     """Train EDITOR per the config; returns {'state', 'best', 'ecfg'}."""
     logger = setup_logger("editor_tpu.train", cfg.OUTPUT_DIR, "train_log.txt")
-    writer = MetricWriter(cfg.OUTPUT_DIR)
+    writer = MetricWriter(cfg.OUTPUT_DIR, tensorboard=cfg.TPU.TENSORBOARD)
     dm = dm or ReIDDataModule(cfg, decode_fn=decode_fn)
     ecfg = editor_config_from(cfg, dm.num_classes, dm.cam_num)
     compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)

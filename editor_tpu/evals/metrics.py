@@ -74,6 +74,48 @@ def _cmc_map_core(distmat: Array, q_pids: Array, g_pids: Array,
     return cmc, mAP, n_valid
 
 
+def sharded_cmc_map(qf: Array, gf: Array, q_pids, g_pids, remove_mask,
+                    mesh, max_rank: int = 50, axis: str = "data"):
+    """Device-sharded eval for large galleries (SURVEY.md §5.7: the [Q, G]
+    distmat is the genuinely large tensor — ~17k x 17k on Market-MM).
+
+    Queries are sharded over the mesh's ``axis``; the gallery is replicated.
+    Every per-query quantity (argsort row, cumsums, AP) is embarrassingly
+    parallel over Q, so XLA partitions the whole computation with zero
+    collectives until the final scalar reductions.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = mesh.shape[axis]
+    Q = qf.shape[0]
+    pad = (-Q) % d
+    if pad:
+        qf = jnp.concatenate([qf, jnp.zeros((pad, qf.shape[1]), qf.dtype)])
+        q_pids = jnp.concatenate([q_pids, -jnp.ones((pad,), q_pids.dtype)])
+        remove_mask = jnp.concatenate(
+            [remove_mask, jnp.ones((pad, remove_mask.shape[1]), bool)])
+    rows = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rows, repl, rows, repl, rows),
+        out_shardings=(repl, repl, repl),
+        static_argnames=("max_rank",))
+    def run(qf, gf, q_pids, g_pids, remove_mask, max_rank=max_rank):
+        distmat = euclidean_distmat(qf, gf)
+        return _cmc_map_core.__wrapped__(distmat, q_pids, g_pids,
+                                         remove_mask, max_rank)
+
+    # padded queries have pid -1 (never matches) → invalid, excluded
+    cmc, mAP, n_valid = run(jnp.asarray(qf), jnp.asarray(gf),
+                            jnp.asarray(q_pids), jnp.asarray(g_pids),
+                            jnp.asarray(remove_mask))
+    if float(n_valid) == 0:
+        raise RuntimeError("all query identities absent from gallery")
+    return np.asarray(cmc), float(mAP)
+
+
 def cmc_map(distmat, q_pids, g_pids, q_camids, g_camids,
             max_rank: int = 50) -> Tuple[np.ndarray, float]:
     """Market1501 protocol: discard gallery entries with the query's
@@ -107,18 +149,45 @@ def cmc_map_msvr(distmat, q_pids, g_pids, q_camids, g_camids,
     return np.asarray(cmc), float(mAP)
 
 
+def write_rank_list(path: str, distmat, q_pids, g_pids, q_camids, g_camids,
+                    q_sceneids, g_sceneids, max_rank: int = 50) -> None:
+    """Write the MSVR310 per-query rank-list artifact (reference
+    ``eval_func_msrv`` writes ``re.txt``, utils/metrics.py:59-99): a header
+    line, then per query ``{pid}_s{scene}_v{cam}:`` followed by the top
+    ``max_rank`` kept gallery entries in the same format."""
+    distmat = np.asarray(distmat)
+    order = np.argsort(distmat, axis=1)
+    with open(path, "w") as f:
+        f.write("rank list file\n")
+        for qi in range(distmat.shape[0]):
+            o = order[qi]
+            keep = ~((g_pids[o] == q_pids[qi])
+                     & (g_sceneids[o] == q_sceneids[qi]))
+            f.write(f"{q_pids[qi]}_s{q_sceneids[qi]}_v{q_camids[qi]}:\n")
+            kept = o[keep][:max_rank]
+            f.write("".join(
+                f"{g_pids[i]}_s{g_sceneids[i]}_v{g_camids[i]}  "
+                for i in kept))
+            f.write("\n")
+
+
 class R1mAPEvaluator:
     """Feature accumulator + metric computation (reference R1_mAP_eval,
-    metrics.py:242-283; MSVR310 variant R1_mAP, :193-239)."""
+    metrics.py:242-283; MSVR310 variant R1_mAP, :193-239).
+
+    ``rank_list_path``: when set (MSVR310 protocol), write the per-query
+    rank-list artifact there (the reference's ``re.txt``)."""
 
     def __init__(self, num_query: int, max_rank: int = 50,
                  feat_norm: bool = True, reranking: bool = False,
-                 msvr_protocol: bool = False):
+                 msvr_protocol: bool = False,
+                 rank_list_path: Optional[str] = None):
         self.num_query = num_query
         self.max_rank = max_rank
         self.feat_norm = feat_norm
         self.reranking = reranking
         self.msvr_protocol = msvr_protocol
+        self.rank_list_path = rank_list_path
         self.reset()
 
     def reset(self):
@@ -155,6 +224,10 @@ class R1mAPEvaluator:
             cmc, mAP = cmc_map_msvr(distmat, q_pids, g_pids, q_camids,
                                     g_camids, sceneids[:nq], sceneids[nq:],
                                     self.max_rank)
+            if self.rank_list_path:
+                write_rank_list(self.rank_list_path, distmat, q_pids, g_pids,
+                                q_camids, g_camids, sceneids[:nq],
+                                sceneids[nq:], self.max_rank)
         else:
             cmc, mAP = cmc_map(distmat, q_pids, g_pids, q_camids, g_camids,
                                self.max_rank)

@@ -198,17 +198,59 @@ def dtcwt_magnitude(highs: Array, eps: float = 0.0) -> Array:
 # translation-quasi-invariant)
 # ---------------------------------------------------------------------------
 
-def scat_layer(x: Array) -> Array:
+def _smooth_mag(highs: Array, bias: float) -> Array:
+    """sqrt(re² + im² + bias²) − bias — the reference's smoothed magnitude
+    (scatternet/lowlevel.py ScatLayer*_f, magbias=1e-2: differentiable at
+    zero, bias-corrected)."""
+    return jnp.sqrt(jnp.sum(jnp.square(highs), axis=-1) + bias * bias) - bias
+
+
+def _avgpool2(x: Array) -> Array:
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+
+
+def scat_layer(x: Array, magbias: float = 1e-2) -> Array:
     """First-order scattering: [B,H,W,C] → [B,H/2,W/2,C*7]
-    (tree-averaged lowpass ‖ 6 orientation magnitudes)."""
+    (tree-averaged lowpass ‖ 6 orientation magnitudes)
+    (reference ScatLayer, scatternet/layers.py)."""
     lows, highs = dtcwt2(x, J=1)
     low = sum(lows) / 4.0  # [B,H/2,W/2,C]
-    mag = dtcwt_magnitude(highs[0], eps=1e-8)  # [B,H/2,W/2,C,6]
+    mag = _smooth_mag(highs[0], magbias)  # [B,H/2,W/2,C,6]
     B, h, w, C, O = mag.shape
     return jnp.concatenate([low, mag.reshape(B, h, w, C * O)], axis=-1)
 
 
-def scat_layer_j2(x: Array) -> Array:
-    """Second-order scattering (ScatLayerj2 equivalent):
-    [B,H,W,C] → [B,H/4,W/4,C*49]."""
-    return scat_layer(scat_layer(x))
+def scat_layer_j2(x: Array, magbias: float = 1e-2) -> Array:
+    """Second-order two-scale scattering: [B,H,W,C] → [B,H/4,W/4,C*49].
+
+    reference ScatLayerj2 (scatternet/layers.py / lowlevel.py
+    ScatLayerj2_f): unlike ScatLayer∘ScatLayer, the second SCALE uses the
+    proper q-shift filters (the reference's fwd_j2plus — here level 2 of
+    dtcwt2), and the output stacks exactly the reference's terms:
+      [ s0 (J=2 lowpass, C) | s1_j1 (level-1 magnitudes avg-pooled, 6C) |
+        s1_j2 (level-2 magnitudes, 6C) | s2_j1 (second-order magnitudes of
+        the level-1 magnitude images, 36C) ].
+    """
+    B, H, Wd, C = x.shape
+    lows, highs = dtcwt2(x, J=2)
+    s0 = sum(lows) / 4.0                               # [B, H/4, W/4, C]
+    m1 = _smooth_mag(highs[0], magbias)                # [B, H/2, W/2, C, 6]
+    h2, w2 = m1.shape[1:3]
+    s1_j1_img = m1.reshape(B, h2, w2, C * 6)
+    s1_j2 = _smooth_mag(highs[1], magbias)             # [B, H/4, W/4, C, 6]
+    # second order: scatter the level-1 magnitude images one more level
+    _, highs2 = dtcwt2(s1_j1_img, J=1)
+    s2_j1 = _smooth_mag(highs2[0], magbias)            # [B,H/4,W/4,6C,6]
+    s1_j1 = _avgpool2(s1_j1_img)                       # [B, H/4, W/4, 6C]
+    parts = [
+        s0,
+        s1_j1,
+        s1_j2.reshape(B, s1_j2.shape[1], s1_j2.shape[2], C * 6),
+        s2_j1.reshape(B, s2_j1.shape[1], s2_j1.shape[2], C * 36),
+    ]
+    # level-2 outputs carry a few rows/cols of q-shift filter growth;
+    # align every term to the smallest common spatial extent
+    h4 = min(p.shape[1] for p in parts)
+    w4 = min(p.shape[2] for p in parts)
+    return jnp.concatenate([p[:, :h4, :w4] for p in parts], axis=-1)

@@ -75,9 +75,14 @@ def _qkv_masked_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill,
     blk = qkv_ref[...]                          # [g, N, 3C]
     mq = m_ref[...][:, 0, :].astype(jnp.float32)  # [g, N] query-row mask
     C = H * D
-    # per-tile key masks: patch block + cls column
+    # mask algebra hoisted OUT of the head loop (identical for all heads):
+    # additive bias = fill where the pair mask is 0, else 0
     mps = [mq[:, t * tile + 1:(t + 1) * tile] for t in range(n_tiles)]
     mcs = [mq[:, t * tile:t * tile + 1] for t in range(n_tiles)]
+    pair_bias = [jnp.where(mq[:, :, None] * mps[t][:, None, :] == 0.0,
+                           fill, 0.0) for t in range(n_tiles)]
+    cls_bias = [jnp.where(mq * mcs[t] == 0.0, fill, 0.0)
+                for t in range(n_tiles)]
     for h in range(H):
         q = blk[:, :, h * D:(h + 1) * D]
         k = blk[:, :, C + h * D:C + (h + 1) * D]
@@ -88,11 +93,10 @@ def _qkv_masked_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill,
             lp = jax.lax.dot_general(
                 q, kp, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale  # [g, N, P]
-            pair = mq[:, :, None] * mps[t][:, None, :]
-            lps.append(jnp.where(pair == 0.0, fill, lp))
+            lps.append(lp + pair_bias[t])
             kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
             lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale  # [g,N]
-            lcs.append(jnp.where(mq * mcs[t] == 0.0, fill, lc))
+            lcs.append(lc + cls_bias[t])
         mx = lcs[0]
         for lc in lcs[1:]:
             mx = jnp.maximum(mx, lc)
@@ -161,6 +165,11 @@ def _qkv_masked_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale, H, D,
     dt = dqkv_ref.dtype
     mps = [mq[:, t * tile + 1:(t + 1) * tile] for t in range(n_tiles)]
     mcs = [mq[:, t * tile:t * tile + 1] for t in range(n_tiles)]
+    # mask bias hoisted out of the head loop (same trick as forward)
+    pair_bias = [jnp.where(mq[:, :, None] * mps[t][:, None, :] == 0.0,
+                           fill, 0.0) for t in range(n_tiles)]
+    cls_bias = [jnp.where(mq * mcs[t] == 0.0, fill, 0.0)
+                for t in range(n_tiles)]
     for h in range(H):
         q = blk[:, :, h * D:(h + 1) * D]
         k = blk[:, :, C + h * D:C + (h + 1) * D]
@@ -173,11 +182,10 @@ def _qkv_masked_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale, H, D,
             lp = jax.lax.dot_general(
                 q, kp, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale
-            pair = mq[:, :, None] * mps[t][:, None, :]
-            lps.append(jnp.where(pair == 0.0, fill, lp))
+            lps.append(lp + pair_bias[t])
             kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
             lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale
-            lcs.append(jnp.where(mq * mcs[t] == 0.0, fill, lc))
+            lcs.append(lc + cls_bias[t])
         mx = lcs[0]
         for lc in lcs[1:]:
             mx = jnp.maximum(mx, lc)

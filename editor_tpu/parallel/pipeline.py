@@ -65,7 +65,7 @@ def pipeline_apply(
         outputs = jnp.zeros_like(xm_local)
         recv = jnp.zeros_like(xm_local[0])
 
-        def tick(t, carry):
+        def tick(carry, t):
             outputs, recv = carry
             # stage 0 consumes microbatch t (clamped; masked out-of-range)
             feed_idx = jnp.clip(t, 0, M - 1)
@@ -79,9 +79,13 @@ def pipeline_apply(
             # hand activations to the next stage (ring neighbor copy)
             perm = [(i, (i + 1) % S) for i in range(S)]
             recv = lax.ppermute(out, axis_name, perm)
-            return outputs, recv
+            return (outputs, recv), None
 
-        outputs, _ = lax.fori_loop(0, T, tick, (outputs, recv))
+        # scan (not fori_loop) so the schedule is reverse-differentiable:
+        # jax.grad through the pipeline runs the mirrored backward schedule
+        # with reversed ppermutes — the 1F1B-equivalent of the reference's
+        # autograd through Fork/Join (pipeline/sync/dependency.py:28-47)
+        (outputs, _), _ = lax.scan(tick, (outputs, recv), jnp.arange(T))
         return outputs[None]  # re-add stage axis for the out_spec
 
     stage_spec = jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
@@ -93,6 +97,33 @@ def pipeline_apply(
     )(stage_params, xm)
     # out: [S, M, mb, ...]; the last stage's buffer holds the results
     return out[-1].reshape(B, *x.shape[1:])
+
+
+def pipeline_train_step(
+    stage_fn: Callable[[Any, Array], Array],
+    loss_fn: Callable[[Array], Array],
+    mesh: Mesh,
+    num_microbatches: int,
+    axis_name: str = "stage",
+    remat: bool = True,
+) -> Callable:
+    """Build a jitted (stage_params, x) -> (loss, grads) step that trains
+    THROUGH the pipeline (reference ``Pipe`` exists to train:
+    distributed/pipeline/sync/pipe.py:172 with activation checkpointing
+    checkpoint.py:253 — here ``remat=True`` wraps the stage fn in
+    ``jax.checkpoint`` so each microbatch's activations are recomputed in
+    the backward schedule, the 'always' checkpoint mode).
+
+    grads have the same stacked-stage leading axis as ``stage_params`` and
+    are exact (loss/grad parity with single-device execution is asserted in
+    tests/test_parallel.py)."""
+
+    def loss_of(stage_params, x):
+        out = pipeline_apply(stage_fn, stage_params, x, mesh,
+                             num_microbatches, axis_name, remat=remat)
+        return loss_fn(out)
+
+    return jax.jit(jax.value_and_grad(loss_of))
 
 
 # ---------------------------------------------------------------------------

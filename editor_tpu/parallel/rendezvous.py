@@ -1,0 +1,230 @@
+"""Store-based dynamic rendezvous for elastic membership changes.
+
+reference: distributed/elastic/rendezvous/ — ``RendezvousHandler`` ABC
+(api.py:33), the ``DynamicRendezvousHandler`` join/close/keepalive state
+machine (dynamic_rendezvous.py:877, ops :779-875), and the c10d-store
+backend (c10d_rendezvous_backend.py:33) over a TCPStore (rendezvous.py:54).
+
+TPU-native role: `jax.distributed.initialize` needs a consistent
+(coordinator, rank, world_size) BEFORE process start; this module is the
+piece that NEGOTIATES those across an elastic node set — nodes join a
+round, the round settles once min_nodes are present (or closes at
+max_nodes), every node gets a deterministic rank, and late arrivals park in
+a waiting set that running agents observe via ``num_nodes_waiting`` to
+decide to re-rendezvous (the reference's scale-up path,
+agent/server/api.py:872-884).
+
+The store is a tiny TCP key-value server with set/get/add/wait — the
+TCPStore equivalent; state lives in one JSON blob updated by
+compare-and-swap so concurrent joins are race-free.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import struct
+import threading
+import time
+import uuid
+from typing import Dict, Optional, Tuple
+
+
+def _send(sock, obj):
+    data = json.dumps(obj).encode()
+    sock.sendall(struct.pack("!I", len(data)) + data)
+
+
+def _recv(sock):
+    hdr = b""
+    while len(hdr) < 4:
+        chunk = sock.recv(4 - len(hdr))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        hdr += chunk
+    (n,) = struct.unpack("!I", hdr)
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(min(65536, n - len(buf)))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return json.loads(buf)
+
+
+class _StoreHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        try:
+            msg = _recv(self.request)
+        except ConnectionError:
+            return
+        store = self.server.kv  # type: ignore[attr-defined]
+        lock = self.server.kv_lock  # type: ignore[attr-defined]
+        op = msg["op"]
+        if op == "set":
+            with lock:
+                store[msg["key"]] = msg["value"]
+            _send(self.request, {"ok": True})
+        elif op == "get":
+            with lock:
+                _send(self.request, {"ok": True,
+                                     "value": store.get(msg["key"])})
+        elif op == "cas":  # compare-and-swap on the JSON value
+            with lock:
+                cur = store.get(msg["key"])
+                if cur == msg["expect"]:
+                    store[msg["key"]] = msg["value"]
+                    _send(self.request, {"ok": True, "value": msg["value"]})
+                else:
+                    _send(self.request, {"ok": False, "value": cur})
+        elif op == "add":
+            with lock:
+                cur = int(store.get(msg["key"], 0)) + int(msg["delta"])
+                store[msg["key"]] = cur
+            _send(self.request, {"ok": True, "value": cur})
+
+
+class _StoreServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class TCPStore:
+    """Minimal TCPStore equivalent (reference rendezvous.py:54 store
+    creation): rank-0 hosts the server; everyone connects as a client."""
+
+    def __init__(self, host: str, port: int, is_server: bool = False):
+        self.addr = (host, port)
+        self.server = None
+        if is_server:
+            self.server = _StoreServer((host, port), _StoreHandler)
+            self.server.kv = {}
+            self.server.kv_lock = threading.Lock()
+            threading.Thread(target=self.server.serve_forever,
+                             daemon=True).start()
+
+    def _call(self, msg):
+        with socket.create_connection(self.addr, timeout=10) as s:
+            _send(s, msg)
+            return _recv(s)
+
+    def set(self, key: str, value) -> None:
+        self._call({"op": "set", "key": key, "value": value})
+
+    def get(self, key: str):
+        return self._call({"op": "get", "key": key})["value"]
+
+    def add(self, key: str, delta: int = 1) -> int:
+        return self._call({"op": "add", "key": key, "delta": delta})["value"]
+
+    def compare_and_swap(self, key: str, expect, value):
+        r = self._call({"op": "cas", "key": key, "expect": expect,
+                        "value": value})
+        return r["ok"], r["value"]
+
+    def wait(self, key: str, timeout: float = 30.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            v = self.get(key)
+            if v is not None:
+                return v
+            time.sleep(0.05)
+        raise TimeoutError(f"store key {key!r} not set within {timeout}s")
+
+    def close(self):
+        if self.server is not None:
+            self.server.shutdown()
+
+
+class DynamicRendezvous:
+    """Join/settle/observe state machine over the store.
+
+    State blob (one JSON value, CAS-updated):
+      {"round": N, "participants": {node_id: join_ts},
+       "waiting": {node_id: ts}, "complete": bool}
+    """
+
+    def __init__(self, store: TCPStore, run_id: str, min_nodes: int,
+                 max_nodes: int, settle_s: float = 0.3,
+                 node_id: Optional[str] = None):
+        self.store = store
+        self.key = f"rdzv/{run_id}"
+        self.min_nodes = min_nodes
+        self.max_nodes = max_nodes
+        self.settle_s = settle_s
+        self.node_id = node_id or uuid.uuid4().hex[:8]
+
+    # -- state helpers -----------------------------------------------------
+    def _state(self) -> Dict:
+        return self.store.get(self.key) or {
+            "round": 0, "participants": {}, "waiting": {}, "complete": False}
+
+    def _cas(self, old, new) -> bool:
+        expect = None if old is None else old
+        ok, _ = self.store.compare_and_swap(self.key, expect, new)
+        return ok
+
+    # -- public API (reference RendezvousHandler, elastic/rendezvous/api.py:33)
+    def next_rendezvous(self, timeout: float = 30.0) -> Tuple[int, int, int]:
+        """Join the current round; block until it settles.
+        Returns (round, rank, world_size)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            raw = self.store.get(self.key)
+            st = raw or {"round": 0, "participants": {}, "waiting": {},
+                         "complete": False}
+            if st["complete"]:
+                if self.node_id in st["participants"]:
+                    return self._finish(st)
+                # late arrival: park in the waiting set (scale-up signal)
+                new = dict(st, waiting={**st["waiting"],
+                                        self.node_id: time.time()})
+                self._cas(raw, new)
+                time.sleep(0.05)
+                continue
+            if self.node_id not in st["participants"]:
+                if len(st["participants"]) >= self.max_nodes:
+                    time.sleep(0.05)
+                    continue
+                new = dict(st, participants={**st["participants"],
+                                             self.node_id: time.time()})
+                if not self._cas(raw, new):
+                    continue
+                st = new
+            n = len(st["participants"])
+            newest = max(st["participants"].values())
+            settled = (time.time() - newest) >= self.settle_s
+            if n >= self.min_nodes and (settled or n >= self.max_nodes):
+                done = dict(st, complete=True)
+                if self._cas(self.store.get(self.key), done):
+                    return self._finish(done)
+                continue
+            time.sleep(0.05)
+        raise TimeoutError("rendezvous did not complete")
+
+    def _finish(self, st) -> Tuple[int, int, int]:
+        ranks = sorted(st["participants"])
+        return st["round"], ranks.index(self.node_id), len(ranks)
+
+    def num_nodes_waiting(self) -> int:
+        """Scale-up signal the agent polls (reference api.py:872-884)."""
+        return len(self._state()["waiting"])
+
+    def restart_round(self) -> None:
+        """Tear down the round so all (running + waiting) nodes re-join —
+        the agent calls this before restarting its workers on membership
+        change."""
+        raw = self.store.get(self.key)
+        if raw is None:
+            return
+        new = {"round": raw["round"] + 1, "participants": {}, "waiting": {},
+               "complete": False}
+        self.store.compare_and_swap(self.key, raw, new)
+
+    def set_closed(self) -> None:
+        """Permanently close (reference RendezvousHandler.set_closed)."""
+        self.store.set(self.key + "/closed", True)
+
+    def is_closed(self) -> bool:
+        return bool(self.store.get(self.key + "/closed"))

@@ -66,7 +66,17 @@ class _Handler(socketserver.BaseRequestHandler):
         if kind == "call":
             try:
                 fn = msg["fn"]
+                t0 = time.perf_counter()
                 result = fn(*msg["args"], **msg["kwargs"])
+                prof = _STATE.get("profile")
+                if prof is not None:
+                    with _STATE["lock"]:
+                        prof.append({
+                            "name": getattr(fn, "__qualname__",
+                                            getattr(fn, "__name__", "<fn>")),
+                            "duration_s": time.perf_counter() - t0,
+                            "thread": threading.get_ident(),
+                        })
                 if msg.get("store_as"):
                     _STATE["objects"][msg["store_as"]] = result
                     _send_msg(self.request, {"ok": True, "value": None})
@@ -153,10 +163,59 @@ def _resolve(to) -> Tuple[str, int]:
     return tuple(_STATE["peers"][to])
 
 
-def _roundtrip(addr, msg):
-    with socket.create_connection(addr, timeout=60) as s:
-        _send_msg(s, msg)
-        reply = _recv_msg(s)
+class FaultyRPCError(ConnectionError):
+    """Raised when fault injection drops an outgoing message."""
+
+
+def enable_fault_injection(messages_to_fail: Tuple[str, ...] = ("call",),
+                           messages_to_delay: Optional[Dict[str, float]] = None,
+                           num_fail_sends: int = 1) -> None:
+    """Test-only fault injection, mirroring the reference's faulty
+    TensorPipe agent (rpc/_testing/faulty_agent_backend_registry.py:30-60):
+    the first ``num_fail_sends`` sends of each kind in ``messages_to_fail``
+    are dropped (raise FaultyRPCError); kinds in ``messages_to_delay`` are
+    delayed by the given seconds before sending."""
+    _STATE["faults"] = {
+        "fail": {k: num_fail_sends for k in messages_to_fail},
+        "delay": dict(messages_to_delay or {}),
+    }
+
+
+def disable_fault_injection() -> None:
+    _STATE.pop("faults", None)
+
+
+def _maybe_inject_fault(kind: str) -> None:
+    faults = _STATE.get("faults")
+    if not faults:
+        return
+    delay = faults["delay"].get(kind)
+    if delay:
+        time.sleep(delay)
+    remaining = faults["fail"].get(kind, 0)
+    if remaining > 0:
+        faults["fail"][kind] = remaining - 1
+        raise FaultyRPCError(f"injected drop of '{kind}' message "
+                             f"({remaining - 1} drops remaining)")
+
+
+def _roundtrip(addr, msg, retries: int = 0):
+    """One request/response. ``retries`` re-sends after injected (or real)
+    connection failures — the reference retries RREF fetches but not user
+    calls (rpc/_testing: FAULTY_MESSAGES vs retryable message types)."""
+    attempt = 0
+    while True:
+        try:
+            _maybe_inject_fault(msg["kind"])
+            with socket.create_connection(addr, timeout=60) as s:
+                _send_msg(s, msg)
+                reply = _recv_msg(s)
+            break
+        except (ConnectionError, OSError):
+            if attempt >= retries:
+                raise
+            attempt += 1
+            time.sleep(0.05 * attempt)
     if not reply["ok"]:
         raise RuntimeError(f"remote raised: {reply['error']}")
     return reply["value"]
@@ -182,8 +241,10 @@ class RRef:
         self.key = key
 
     def to_here(self):
+        # rref fetches are retried through injected faults (the reference's
+        # faulty agent marks RREF messages retryable; user calls are not)
         return _roundtrip(_resolve(self.owner), {"kind": "fetch",
-                                                 "key": self.key})
+                                                 "key": self.key}, retries=3)
 
     def rpc_sync_method(self, fn: Callable, *args, **kwargs):
         """Run fn(owner_value, *args) on the owner, replacing the value."""
@@ -205,6 +266,36 @@ def remote(to, fn: Callable, args: tuple = (),
     _roundtrip(_resolve(to), {"kind": "call", "fn": fn, "args": args,
                               "kwargs": kwargs or {}, "store_as": key})
     return RRef(to, key)
+
+
+class server_process_global_profile:
+    """Profile every RPC handled by this process's server across ALL its
+    threads (reference rpc/server_process_global_profiler.py:14): a context
+    manager collecting per-call events; ``events()`` returns them and
+    ``key_averages()`` aggregates count/total/mean duration per function."""
+
+    def __enter__(self):
+        with _STATE["lock"]:
+            _STATE["profile"] = []
+        return self
+
+    def __exit__(self, *exc):
+        with _STATE["lock"]:
+            self._events = list(_STATE.pop("profile", []))
+        return False
+
+    def events(self):
+        return list(self._events)
+
+    def key_averages(self):
+        agg: Dict[str, Dict[str, float]] = {}
+        for e in self._events:
+            a = agg.setdefault(e["name"], {"count": 0, "total_s": 0.0})
+            a["count"] += 1
+            a["total_s"] += e["duration_s"]
+        for a in agg.values():
+            a["mean_s"] = a["total_s"] / a["count"]
+        return agg
 
 
 def shutdown() -> None:

@@ -39,13 +39,28 @@ def setup_logger(name: str, save_dir: Optional[str], filename: str,
 
 
 class MetricWriter:
-    """Append-only JSONL metrics (one record per call)."""
+    """Append-only JSONL metrics (one record per call), with an optional
+    TensorBoard mirror (reference SummaryWriter, engine/processor.py:42).
 
-    def __init__(self, save_dir: Optional[str], filename: str = "metrics.jsonl"):
+    TB records use ``step`` (or ``iter``, or ``epoch``) as the global step
+    and emit every scalar field — unlike the reference, which logged
+    per-iter loss with ``global_step=epoch`` (processor.py:93 quirk, not
+    replicated)."""
+
+    def __init__(self, save_dir: Optional[str], filename: str = "metrics.jsonl",
+                 tensorboard: bool = False):
         self.path = None
+        self.tb = None
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             self.path = os.path.join(save_dir, filename)
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self.tb = SummaryWriter(os.path.join(save_dir, "tb"))
+                except Exception:  # noqa: BLE001 — TB optional, JSONL stays
+                    logging.getLogger(__name__).warning(
+                        "tensorboard unavailable; metrics stay JSONL-only")
 
     def write(self, record: Dict[str, Any]):
         if self.path is None:
@@ -53,3 +68,14 @@ class MetricWriter:
         record = dict(record, ts=time.time())
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.tb is not None:
+            step = record.get("step", record.get("iter", record.get("epoch", 0)))
+            for k, v in record.items():
+                if k in ("ts", "step", "iter") or not isinstance(v, (int, float)):
+                    continue
+                self.tb.add_scalar(k, v, int(step))
+            self.tb.flush()
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.close()

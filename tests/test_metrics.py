@@ -110,3 +110,36 @@ def test_jax_reranking_matches_numpy():
     d_np = k_reciprocal_rerank(q, g, k1=10, k2=4, lambda_value=0.3)
     d_jx = k_reciprocal_rerank_jax(q, g, k1=10, k2=4, lambda_value=0.3)
     np.testing.assert_allclose(d_jx, d_np, atol=1e-5)
+
+
+def test_sharded_cmc_map_matches_unsharded():
+    """Gallery-sharded eval (SURVEY.md §5.7): sharding queries over the
+    8-device mesh reproduces the single-device metrics exactly, including
+    the Q-padding path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from editor_tpu.evals.metrics import (cmc_map, euclidean_distmat,
+                                          sharded_cmc_map)
+
+    rng = np.random.RandomState(7)
+    Q, G, D = 21, 65, 16  # Q deliberately not divisible by 8
+    qf = rng.randn(Q, D).astype(np.float32)
+    gf = rng.randn(G, D).astype(np.float32)
+    q_pids = rng.randint(0, 9, Q)
+    g_pids = rng.randint(0, 9, G)
+    q_cams = rng.randint(0, 3, Q)
+    g_cams = rng.randint(0, 3, G)
+
+    dist = euclidean_distmat(jnp.asarray(qf), jnp.asarray(gf))
+    cmc_ref, map_ref = cmc_map(dist, q_pids, g_pids, q_cams, g_cams)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    remove = ((g_pids[None, :] == q_pids[:, None])
+              & (g_cams[None, :] == q_cams[:, None]))
+    cmc_sh, map_sh = sharded_cmc_map(jnp.asarray(qf), jnp.asarray(gf),
+                                     jnp.asarray(q_pids),
+                                     jnp.asarray(g_pids),
+                                     jnp.asarray(remove), mesh)
+    np.testing.assert_allclose(cmc_sh, cmc_ref, atol=1e-6)
+    np.testing.assert_allclose(map_sh, map_ref, atol=1e-6)

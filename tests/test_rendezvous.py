@@ -1,0 +1,110 @@
+"""Store-based dynamic rendezvous (reference elastic/rendezvous/) tests."""
+
+import os
+import threading
+import time
+
+import pytest
+
+from editor_tpu.parallel.rendezvous import DynamicRendezvous, TCPStore
+
+
+def _port():
+    return 29800 + (os.getpid() + int(time.time() * 10)) % 600
+
+
+def test_tcp_store_ops():
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        client = TCPStore("127.0.0.1", port)
+        client.set("k", {"a": 1})
+        assert client.get("k") == {"a": 1}
+        assert client.add("n", 2) == 2
+        assert client.add("n", 3) == 5
+        ok, _ = client.compare_and_swap("k", {"a": 1}, {"a": 2})
+        assert ok
+        ok, cur = client.compare_and_swap("k", {"a": 1}, {"a": 3})
+        assert not ok and cur == {"a": 2}
+        t = threading.Timer(0.2, lambda: client.set("late", 7))
+        t.start()
+        assert client.wait("late", timeout=5) == 7
+    finally:
+        server.close()
+
+
+def test_dynamic_rendezvous_three_nodes_consistent_ranks():
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        results = {}
+
+        def node(i):
+            st = TCPStore("127.0.0.1", port)
+            rdzv = DynamicRendezvous(st, "run1", min_nodes=3, max_nodes=3,
+                                     node_id=f"node{i}")
+            results[i] = rdzv.next_rendezvous(timeout=20)
+
+        threads = [threading.Thread(target=node, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert len(results) == 3
+        rounds = {r[0] for r in results.values()}
+        worlds = {r[2] for r in results.values()}
+        ranks = sorted(r[1] for r in results.values())
+        assert rounds == {0} and worlds == {3} and ranks == [0, 1, 2]
+    finally:
+        server.close()
+
+
+def test_scale_up_waits_then_rejoins_bigger_world():
+    """The reference agent's membership-change path
+    (agent/server/api.py:872-884): a late node parks in the waiting set;
+    the agent observes num_nodes_waiting > 0, restarts the round, and
+    everyone (old + new) re-rendezvouses into the larger world."""
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        mk = lambda nid: DynamicRendezvous(
+            TCPStore("127.0.0.1", port), "run2", min_nodes=2, max_nodes=4,
+            settle_s=0.2, node_id=nid)
+        a, b = mk("a"), mk("b")
+        res = {}
+        ta = threading.Thread(target=lambda: res.update(a=a.next_rendezvous(20)))
+        tb = threading.Thread(target=lambda: res.update(b=b.next_rendezvous(20)))
+        ta.start(); tb.start(); ta.join(30); tb.join(30)
+        assert res["a"][2] == res["b"][2] == 2
+
+        # late third node parks in the waiting set
+        c = mk("c")
+        tc = threading.Thread(target=lambda: res.update(c=c.next_rendezvous(30)))
+        tc.start()
+        deadline = time.time() + 10
+        while a.num_nodes_waiting() == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert a.num_nodes_waiting() >= 1
+
+        # agent reaction: tear down the round; all three re-join
+        a.restart_round()
+        t2a = threading.Thread(target=lambda: res.update(a2=a.next_rendezvous(30)))
+        t2b = threading.Thread(target=lambda: res.update(b2=b.next_rendezvous(30)))
+        t2a.start(); t2b.start()
+        for t in (t2a, t2b, tc):
+            t.join(30)
+        assert res["a2"][0] == res["b2"][0] == res["c"][0] == 1  # round bumped
+        assert res["a2"][2] == res["b2"][2] == res["c"][2] == 3
+        assert sorted([res["a2"][1], res["b2"][1], res["c"][1]]) == [0, 1, 2]
+    finally:
+        server.close()
+
+
+def test_cycling_iterator():
+    from editor_tpu.data.sampler import CyclingIterator
+
+    it = CyclingIterator(3, lambda epoch: iter([epoch * 10 + i
+                                                for i in range(2)]))
+    assert list(it) == [0, 1, 10, 11, 20, 21]
+    with pytest.raises(StopIteration):
+        next(it)

@@ -63,6 +63,42 @@ def test_rpc_end_to_end(tmp_path):
                                        [module.params_rref])
         opt.step(0.5)
         np.testing.assert_allclose(module.params_rref.to_here(), w * 0.5)
+
+        # fault injection (reference faulty_agent_backend_registry.py:30-60):
+        # user calls are dropped and NOT retried; rref fetches retry through
+        # the injected drops and still succeed
+        rpc.enable_fault_injection(messages_to_fail=("call",),
+                                   num_fail_sends=2)
+        with pytest.raises(rpc.FaultyRPCError):
+            rpc.rpc_sync("worker1", _square, (4,))
+        with pytest.raises(rpc.FaultyRPCError):
+            rpc.rpc_sync("worker1", _square, (4,))
+        assert rpc.rpc_sync("worker1", _square, (4,)) == 16  # budget spent
+        rpc.enable_fault_injection(messages_to_fail=("fetch",),
+                                   num_fail_sends=2)
+        assert rref.to_here() == 7  # retried through 2 injected drops
+        rpc.disable_fault_injection()
+
+        # delay injection is observable in wall time
+        rpc.enable_fault_injection(messages_to_fail=(),
+                                   messages_to_delay={"call": 0.3})
+        t0 = time.time()
+        rpc.rpc_sync("worker1", _square, (2,))
+        assert time.time() - t0 >= 0.3
+        rpc.disable_fault_injection()
+
+        # server-global profiler aggregates across server threads
+        # (reference rpc/server_process_global_profiler.py:14) — profile
+        # OUR server by having worker1 profile... simplest: profile this
+        # process's handler by invoking a local self-call
+        with rpc.server_process_global_profile() as prof:
+            rpc.rpc_sync("master", _square, (5,))
+            rpc.rpc_sync("master", _square, (6,))
+        stats = prof.key_averages()
+        assert stats["_square"]["count"] == 2
+        assert stats["_square"]["mean_s"] >= 0
+        assert len(prof.events()) == 2
+
         with open(done_file, "w") as f:
             f.write("done")
         rpc.shutdown()
