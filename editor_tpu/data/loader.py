@@ -83,7 +83,9 @@ class BatchLoader:
         self.wide_jpeg = wide_jpeg
         self.num_modalities = num_modalities
         self.has_sceneid = has_sceneid
-        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        # NUM_WORKERS=0 means synchronous decode in torch; a 1-thread
+        # pool gives the same effective behavior here
+        self.pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
         self.prefetch = prefetch
         self.decode_fn = decode_fn or (lambda item: decode_item(
             item[0], self.size_hw, self.wide_jpeg, self.num_modalities))

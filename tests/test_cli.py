@@ -34,6 +34,7 @@ def tiny_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_cli_train_end_to_end(tiny_root, tmp_path):
     from editor_tpu.cli.train import main
     out = str(tmp_path / "out")

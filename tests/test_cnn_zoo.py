@@ -55,11 +55,11 @@ _FAST_FORWARD = [
     ("resnet18", (64, 32)), ("osnet_x0_25", (64, 32)),
     ("shufflenet_v2_x0_5", (64, 32)), ("squeezenet1_1", (64, 64)),
     ("mobilenetv2_x1_0", (64, 32)), ("shufflenet", (64, 32)),
-    ("densenet121", (64, 32)),
 ]
 
 # heavier architectures (big stacks / fixed input sizes) — run with -m slow
 _SLOW_FORWARD = [
+    ("densenet121", (64, 32)),
     ("resnet50_ibn_b", (64, 32)), ("se_resnext50_32x4d", (64, 32)),
     ("resnet50mid", (64, 32)), ("pcb_p6", (96, 32)),
     ("xception", (128, 64)), ("inceptionv4", (160, 96)),

@@ -130,6 +130,7 @@ def test_zero1_shardings(mesh):
     assert shard_shapes == {(16, 96)}
 
 
+@pytest.mark.slow
 def test_zero1_train_step_matches_replicated(mesh):
     """ZeRO-1 sharded optimizer state produces identical params to the
     replicated step (it's a layout change, not a math change)."""

@@ -69,7 +69,8 @@ def test_scale_up_waits_then_rejoins_bigger_world():
     try:
         mk = lambda nid: DynamicRendezvous(
             TCPStore("127.0.0.1", port), "run2", min_nodes=2, max_nodes=4,
-            settle_s=0.2, node_id=nid)
+            settle_s=1.0, node_id=nid)  # wide settle: parked nodes must
+        # reliably rejoin the restarted round even on a loaded CI host
         a, b = mk("a"), mk("b")
         res = {}
         ta = threading.Thread(target=lambda: res.update(a=a.next_rendezvous(20)))

@@ -49,6 +49,7 @@ def _cfg(tiny_root, out, max_epochs):
     ])
 
 
+@pytest.mark.slow
 def test_train_resume_from_checkpoint(tiny_root, tmp_path):
     """The elastic recovery contract: a restarted run resumes exactly from
     the latest full-state checkpoint (the reference cannot — model-only

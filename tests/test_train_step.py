@@ -90,6 +90,7 @@ def test_optimizer_group_labels():
     assert lbls["['BACKBONE']['cls_token']"] == "default"
 
 
+@pytest.mark.slow
 def test_data_parallel_8dev_matches_single_device():
     """DP over the virtual 8-CPU mesh == single-device step (same numerics)."""
     cfg, ecfg, batch = tiny_setup(batch=8)

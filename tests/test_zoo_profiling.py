@@ -15,6 +15,7 @@ def test_cnn_zoo_param_counts(name, expected_m):
     assert abs(n - expected_m) < 0.01, n
 
 
+@pytest.mark.slow
 def test_cnn_zoo_forward():
     from editor_tpu.models.cnn_zoo import build_cnn
     x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
