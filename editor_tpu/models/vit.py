@@ -184,9 +184,17 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
     the shipped configs) the rollout sees post-dropout probabilities, same
     as the reference (dropout is applied to the returned map there too).
     """
-    B, N, C = x.shape
-    H, D = cfg.num_heads, cfg.head_dim
     qkv = linear(p["qkv"], x)  # [B, N, 3C] — fed to the kernel as-is
+    return _attention_core(p, qkv, cfg, training, rng, need_probs)
+
+
+def _attention_core(p: dict, qkv: Array, cfg: ViTConfig, training: bool,
+                    rng: Optional[Array],
+                    need_probs: bool = True) -> Tuple[Array, Optional[Array]]:
+    """Attention from the raw qkv projection (see _attention)."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = cfg.num_heads, cfg.head_dim
     qkv = jax.ad_checkpoint.checkpoint_name(qkv, "qkv")
     use_fused = (jax.default_backend() == "tpu"
                  and not (training and cfg.attn_drop_rate > 0))
@@ -203,19 +211,19 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
         # accumulate in at-least-f32 (f64 under x64 for parity tests)
         qkv5 = qkv.reshape(B, N, 3, H, D)
         q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]  # [B,N,H,D]
-        cd = jnp.promote_types(x.dtype, jnp.float32)
+        cd = jnp.promote_types(qkv.dtype, jnp.float32)
         logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                             preferred_element_type=cd) * cfg.scale
         attn = jax.nn.softmax(logits.astype(cd), axis=-1)
         if training and cfg.attn_drop_rate > 0 and rng is not None:
             rng, sub = jax.random.split(rng)
             attn = dropout(sub, attn, cfg.attn_drop_rate, training)
-        attn_c = attn.astype(x.dtype)
+        attn_c = attn.astype(qkv.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn_c, v,
                          preferred_element_type=cd)
-        out = out.astype(x.dtype).reshape(B, N, C)
+        out = out.astype(qkv.dtype).reshape(B, N, C)
         if need_probs:
-            probs = attn.astype(x.dtype)
+            probs = attn.astype(qkv.dtype)
     out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
     out = linear(p["proj"], out)
     if training and cfg.drop_rate > 0 and rng is not None:
@@ -300,6 +308,12 @@ def vit_apply(
         layer_rngs = jnp.zeros((cfg.depth, 2), dtype=jnp.uint32)
     have_rng = rng is not None
 
+    # NOTE: an LN->matmul(->GELU) fused kernel exists
+    # (ops/fused_linear.ln_matmul) and wins in isolation (qkv 2.30->1.99 ms,
+    # fc1+gelu 3.82->2.67 ms per layer), but wiring it here LOSES ~25 ms on
+    # the full backbone: XLA overlaps its own fusions with the attention
+    # custom call, while back-to-back Pallas calls serialize. Kept as a
+    # library op; the scan body stays on the XLA LN path.
     def body(xs, inp):
         bp, rate, lrng = inp
         r1 = r2 = r3 = None

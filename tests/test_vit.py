@@ -97,3 +97,27 @@ def test_overlap_stride():
     x = jnp.zeros((1, 64, 32, 3))
     tokens, _ = V.vit_apply(params, x, cfg)
     assert tokens.shape == (1, 11, 96)
+
+
+def test_ln_matmul_matches_unfused():
+    """ops/fused_linear.ln_matmul (XLA fallback path) == layernorm+linear
+    (+gelu)."""
+    from editor_tpu.models.layers import gelu, layernorm, linear
+    from editor_tpu.ops.fused_linear import ln_matmul
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 9, 96).astype(np.float32))
+    w = jnp.asarray(rng.randn(96, 192).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(192).astype(np.float32) * 0.1)
+    g = jnp.asarray(1 + 0.1 * rng.randn(96).astype(np.float32))
+    bb = jnp.asarray(0.1 * rng.randn(96).astype(np.float32))
+    ref = linear({"w": w, "b": b},
+                 layernorm({"w": g, "b": bb}, x, 1e-6))
+    got = ln_matmul(x, w, b, g, bb, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    ref2 = gelu(ref)
+    got2 = ln_matmul(x, w, b, g, bb, 1e-6, act="gelu")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-5)
+    # gradients flow through the custom vjp
+    grad = jax.grad(lambda xx: jnp.sum(ln_matmul(xx, w, b, g, bb, 1e-6)))(x)
+    assert np.isfinite(np.asarray(grad)).all()
