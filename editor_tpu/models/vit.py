@@ -336,6 +336,13 @@ def vit_apply(
             scan_body = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.save_only_these_names(
                     "qkv", "attn_out", "fc1"))
+        elif cfg.remat_policy == "attn_out":
+            # saving attn_out + fc1 (not qkv) means the backward never
+            # re-runs the attention kernel or its probs spill: qkv is
+            # recomputed with one matmul for the attention VJP residual
+            scan_body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "fc1"))
         else:
             scan_body = jax.checkpoint(body)
     else:

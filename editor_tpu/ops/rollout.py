@@ -85,7 +85,7 @@ def _chain_kernel(pp_ref, pc_ref, o_ref, vc_ref, *, L):
         vc_ref[...] = new_vc[:, None]
 
 
-def _pallas_chain_split(pp: Array, pc: Array, group: int = 8) -> Array:
+def _pallas_chain_split(pp: Array, pc: Array, group: int = 64) -> Array:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
