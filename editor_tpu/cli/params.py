@@ -11,6 +11,10 @@ def main(argv=None):
     parser.add_argument("--config_file", default="", type=str)
     parser.add_argument("--num_classes", default=50, type=int)
     parser.add_argument("--camera_num", default=8, type=int)
+    parser.add_argument("--cnn", default="", type=str,
+                        help="count a CNN-zoo model instead (the reference's "
+                             "commented zoo loop, params.py:72-79); 'all' "
+                             "prints every factory entry")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
@@ -18,6 +22,16 @@ def main(argv=None):
 
     from editor_tpu.config import load_config
     from editor_tpu.models import count_params, editor_config_from, editor_init
+
+    if args.cnn:
+        from editor_tpu.models.zoo import MODEL_FACTORY, model_param_count
+        names = sorted(MODEL_FACTORY) if args.cnn == "all" else [args.cnn]
+        total = 0
+        for name in names:
+            n = model_param_count(name, num_classes=args.num_classes)
+            print(f"{name}: {n / 1e6:.3f} M")
+            total = n
+        return total
 
     cfg = load_config(args.config_file or None, args.opts or None)
     ecfg = editor_config_from(cfg, args.num_classes, args.camera_num)

@@ -141,6 +141,8 @@ class TPUConfig:
     MESH_MODEL: int = 1  # model-parallel mesh axis size (TP hooks)
     ZERO_STAGE: int = 0  # 0 = replicated opt state, 1 = ZeRO-1 sharded over data axis
     REMAT: bool = False  # jax.checkpoint the backbone blocks
+    # 'block' (fastest measured) | 'dots' | 'names' | 'attn_out'
+    REMAT_POLICY: str = "block"
     ASYNC_CHECKPOINT: bool = True
     GRAD_COMPRESSION: str = "none"  # 'none' | 'fp16' | 'bf16' | 'powersgd'
     POWERSGD_RANK: int = 4

@@ -126,3 +126,31 @@ class CyclingIterator:
                     raise
                 self._epoch += 1
                 self._iter = self._generator_fn(self._epoch)
+
+
+class IdentitySampler:
+    """Cross-modal identity sampler (reference data/datasets/sampler.py:69-103,
+    defined but unused on the reference's main path — kept for capability
+    parity): per batch, choose ``batch_size`` identities without replacement
+    and ``num_pos`` samples per identity from EACH modality's index lists."""
+
+    def __init__(self, color_labels, thermal_labels, color_pos, thermal_pos,
+                 num_pos: int, batch_size: int, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        uni = np.unique(color_labels)
+        N = max(len(color_labels), len(thermal_labels))
+        idx1, idx2 = [], []
+        for _ in range(N // (batch_size * num_pos) + 1):
+            batch_ids = rng.choice(uni, batch_size, replace=False)
+            for pid in batch_ids:
+                idx1.append(rng.choice(color_pos[pid], num_pos))
+                idx2.append(rng.choice(thermal_pos[pid], num_pos))
+        self.index1 = np.concatenate(idx1)
+        self.index2 = np.concatenate(idx2)
+        self.N = N
+
+    def __iter__(self):
+        return iter(np.arange(len(self.index1)))
+
+    def __len__(self):
+        return self.N

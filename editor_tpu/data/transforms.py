@@ -87,6 +87,43 @@ def random_erasing(key: Array, x: Array, prob: float,
     return jnp.where(mask, noise, x)
 
 
+def random_grayscale_patch(key: Array, x: Array, prob: float,
+                           min_area: float = 0.02, max_area: float = 0.4,
+                           min_aspect: float = 0.3,
+                           attempts: int = 10) -> Array:
+    """RandomGrayscalePatchReplacement (reference make_dataloader.py:149-188,
+    defined but unused on the reference's main path — kept for capability
+    parity): replace a random box with its ITU-R 601 grayscale. Same
+    attempt/first-fit semantics as :func:`random_erasing`."""
+    B, H, W, C = x.shape
+    k_apply, k_area, k_aspect, k_top, k_left = jax.random.split(key, 5)
+    apply = jax.random.bernoulli(k_apply, prob, (B,))
+    area = jax.random.uniform(k_area, (B, attempts),
+                              minval=min_area, maxval=max_area) * (H * W)
+    ar = jnp.exp(jax.random.uniform(
+        k_aspect, (B, attempts),
+        minval=math.log(min_aspect), maxval=math.log(1.0 / min_aspect)))
+    hs = jnp.round(jnp.sqrt(area * ar)).astype(jnp.int32)
+    ws = jnp.round(jnp.sqrt(area / ar)).astype(jnp.int32)
+    valid = (hs < H) & (ws < W)
+    first = jnp.argmax(valid, axis=1)
+    h = jnp.take_along_axis(hs, first[:, None], 1)[:, 0]
+    w = jnp.take_along_axis(ws, first[:, None], 1)[:, 0]
+    do = apply & jnp.any(valid, axis=1)
+    top = jnp.floor(jax.random.uniform(k_top, (B,))
+                    * (H - h + 1).astype(jnp.float32)).astype(jnp.int32)
+    left = jnp.floor(jax.random.uniform(k_left, (B,))
+                     * (W - w + 1).astype(jnp.float32)).astype(jnp.int32)
+    rows = jnp.arange(H)[None, :, None]
+    cols = jnp.arange(W)[None, None, :]
+    in_box = ((rows >= top[:, None, None]) & (rows < (top + h)[:, None, None])
+              & (cols >= left[:, None, None])
+              & (cols < (left + w)[:, None, None]))
+    mask = (in_box & do[:, None, None])[..., None]
+    gray = (0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3])
+    return jnp.where(mask, jnp.broadcast_to(gray, x.shape), x)
+
+
 def make_train_augment(input_cfg: Any) -> Callable:
     """Returns augment(key, imgs_uint8 [B,H,W,3]) -> normalized float images.
 

@@ -79,6 +79,7 @@ def editor_config_from(cfg: Any, num_classes: int, camera_num: int) -> EditorCon
         drop_rate=cfg.MODEL.DROP_OUT,
         attn_drop_rate=cfg.MODEL.ATT_DROP_RATE,
         remat=bool(getattr(cfg.TPU, "REMAT", False)),
+        remat_policy=str(getattr(cfg.TPU, "REMAT_POLICY", "block")),
     )
     return EditorConfig(
         num_classes=num_classes,
