@@ -228,3 +228,58 @@ class DynamicRendezvous:
 
     def is_closed(self) -> bool:
         return bool(self.store.get(self.key + "/closed"))
+
+
+# ---------------------------------------------------------------------------
+# host-side control-plane collectives over the store
+# ---------------------------------------------------------------------------
+
+class StragglerError(TimeoutError):
+    """Raised by monitored_barrier naming the ranks that never arrived."""
+
+    def __init__(self, missing):
+        self.missing = sorted(missing)
+        super().__init__(f"ranks {self.missing} did not reach the barrier")
+
+
+def monitored_barrier(store: TCPStore, name: str, rank: int, world_size: int,
+                      timeout: float = 30.0) -> None:
+    """Barrier that NAMES the straggler ranks on timeout (reference
+    ``monitored_barrier``, distributed_c10d.py:2742-2805 — its point over a
+    plain barrier is the diagnostic). Every rank registers arrival under
+    ``barrier/{name}/{rank}``; each rank then waits for all others and
+    raises :class:`StragglerError` listing whoever is missing."""
+    store.set(f"barrier/{name}/{rank}", True)
+    deadline = time.time() + timeout
+    missing = set(range(world_size)) - {rank}
+    while missing and time.time() < deadline:
+        for r in list(missing):
+            if store.get(f"barrier/{name}/{r}"):
+                missing.discard(r)
+        if missing:
+            time.sleep(0.05)
+    if missing:
+        raise StragglerError(missing)
+
+
+def all_gather_object(store: TCPStore, name: str, rank: int, world_size: int,
+                      obj, timeout: float = 30.0) -> list:
+    """Object all-gather over the store (reference's pickle-to-tensor object
+    collectives, distributed_c10d.py:1519-1940; used by the reference's DDP
+    sampler for its shared seed, sampler_ddp.py:64-109). Values must be
+    JSON-serializable — this is a host control-plane primitive, not a
+    tensor path."""
+    store.set(f"gather/{name}/{rank}", obj)
+    out = []
+    for r in range(world_size):
+        out.append(store.wait(f"gather/{name}/{r}", timeout=timeout))
+    return out
+
+
+def broadcast_object(store: TCPStore, name: str, rank: int, obj=None,
+                     src: int = 0, timeout: float = 30.0):
+    """Object broadcast from ``src`` (reference broadcast_object_list)."""
+    if rank == src:
+        store.set(f"bcast/{name}", obj)
+        return obj
+    return store.wait(f"bcast/{name}", timeout=timeout)

@@ -109,3 +109,65 @@ def test_cycling_iterator():
     assert list(it) == [0, 1, 10, 11, 20, 21]
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_monitored_barrier_names_straggler():
+    from editor_tpu.parallel.rendezvous import (StragglerError,
+                                                monitored_barrier)
+
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        st = TCPStore("127.0.0.1", port)
+        # ranks 0 and 2 arrive; rank 1 never does
+        errs = {}
+
+        def go(r):
+            try:
+                monitored_barrier(st, "b1", r, 3, timeout=1.0)
+            except StragglerError as e:
+                errs[r] = e.missing
+
+        t0 = threading.Thread(target=go, args=(0,))
+        t2 = threading.Thread(target=go, args=(2,))
+        t0.start(); t2.start(); t0.join(10); t2.join(10)
+        assert errs[0] == [1] and errs[2] == [1]
+        # full barrier passes
+        done = []
+        ts = [threading.Thread(
+            target=lambda r=r: (monitored_barrier(st, "b2", r, 3, 10),
+                                done.append(r))) for r in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(15)
+        assert sorted(done) == [0, 1, 2]
+    finally:
+        server.close()
+
+
+def test_object_collectives():
+    from editor_tpu.parallel.rendezvous import (all_gather_object,
+                                                broadcast_object)
+
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        st = TCPStore("127.0.0.1", port)
+        results = {}
+
+        def go(r):
+            results[r] = all_gather_object(st, "g1", r, 3, {"rank": r})
+
+        ts = [threading.Thread(target=go, args=(r,)) for r in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(15)
+        assert all(results[r] == [{"rank": 0}, {"rank": 1}, {"rank": 2}]
+                   for r in range(3))
+        # the reference DDP sampler's shared-seed pattern
+        seed = broadcast_object(st, "seed", rank=0, obj=1234)
+        assert broadcast_object(st, "seed", rank=1) == 1234 == seed
+    finally:
+        server.close()
