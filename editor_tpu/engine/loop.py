@@ -132,6 +132,13 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
             state = jax.tree_util.tree_map(jax.device_put, state,
                                            state_shardings)
             logger.info("ZeRO-1: optimizer state sharded over the data axis")
+        elif mesh is not None and mesh.shape.get("model", 1) > 1:
+            from editor_tpu.parallel.tp import train_state_tp_shardings
+            state_shardings = train_state_tp_shardings(state, mesh)
+            state = jax.tree_util.tree_map(jax.device_put, state,
+                                           state_shardings)
+            logger.info("TP: backbone weights Megatron-split over the model "
+                        "axis (%d-way)", mesh.shape["model"])
         step = build_train_step(ecfg, opt, loss_func, lr_fn,
                                 cfg.SOLVER.BASE_LR,
                                 compute_dtype=compute_dtype, mesh=mesh,

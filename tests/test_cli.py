@@ -101,3 +101,36 @@ def test_cli_test_random_weights(tiny_root, tmp_path):
         "OUTPUT_DIR", str(tmp_path / "out2"),
     ])
     assert 0.0 <= mAP <= 1.0
+
+
+@pytest.mark.slow
+def test_cli_train_tp_mesh(tiny_root, tmp_path):
+    """do_train with TPU.MESH_MODEL=2: TP shardings applied through the
+    config path; loss finite and artifacts written."""
+    from editor_tpu.cli.train import main
+    out = str(tmp_path / "out_tp")
+    result = main([
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.PRETRAIN_CHOICE", "random",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "INPUT.SIZE_TEST", "[64, 32]",
+        "DATASETS.NAMES", "RGBNT201",
+        "DATASETS.ROOT_DIR", tiny_root,
+        "DATALOADER.NUM_INSTANCE", "2",
+        "DATALOADER.NUM_WORKERS", "2",
+        "SOLVER.IMS_PER_BATCH", "8",
+        "SOLVER.MAX_EPOCHS", "1",
+        "SOLVER.EVAL_PERIOD", "100",
+        "SOLVER.CHECKPOINT_PERIOD", "100",
+        "SOLVER.LOG_PERIOD", "1",
+        "SOLVER.SEED", "7",
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TPU.MESH_DATA", "4",
+        "TPU.MESH_MODEL", "2",
+        "OUTPUT_DIR", out,
+    ])
+    assert result["state"] is not None
+    log = open(os.path.join(out, "train_log.txt")).read()
+    assert "Megatron-split" in log
