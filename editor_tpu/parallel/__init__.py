@@ -15,3 +15,14 @@ from editor_tpu.parallel.collectives import (  # noqa: F401
 )
 from editor_tpu.parallel.compression import Reducer, make_reducer  # noqa: F401
 from editor_tpu.parallel.zero import shard_opt_state, zero1_shardings  # noqa: F401
+from editor_tpu.parallel.tp import (  # noqa: F401
+    editor_tp_shardings,
+    train_state_tp_shardings,
+)
+from editor_tpu.parallel.rendezvous import (  # noqa: F401
+    DynamicRendezvous,
+    TCPStore,
+    all_gather_object,
+    broadcast_object,
+    monitored_barrier,
+)
