@@ -23,15 +23,30 @@ def setup_logger(name: str, save_dir: Optional[str], filename: str,
     logger.propagate = False
     if distributed_rank > 0:
         return logger
-    if not logger.handlers:
-        fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+    fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler)
+               for h in logger.handlers):
         sh = logging.StreamHandler(stream=sys.stdout)
         sh.setLevel(logging.DEBUG)
         sh.setFormatter(fmt)
         logger.addHandler(sh)
-        if save_dir:
+    if save_dir:
+        # loggers are process-global singletons: a second run with a
+        # different OUTPUT_DIR must swap the file handler, not silently
+        # keep logging into the first run's file
+        path = os.path.abspath(os.path.join(save_dir, filename))
+        stale = [h for h in logger.handlers
+                 if isinstance(h, logging.FileHandler)
+                 and getattr(h, "baseFilename", None) != path]
+        for h in stale:
+            logger.removeHandler(h)
+            h.close()
+        if not any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == path
+                   for h in logger.handlers):
             os.makedirs(save_dir, exist_ok=True)
-            fh = logging.FileHandler(os.path.join(save_dir, filename))
+            fh = logging.FileHandler(path)
             fh.setLevel(logging.DEBUG)
             fh.setFormatter(fmt)
             logger.addHandler(fh)
