@@ -37,8 +37,10 @@ def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
              mesh=None, compute_dtype=jnp.bfloat16):
     """Feature-extraction eval pass → (cmc, mAP)."""
     # build_eval_step returns a fresh jax.jit closure; cache it so repeated
-    # per-epoch evals reuse one compilation instead of recompiling each call
-    key = (id(ecfg), str(compute_dtype), id(mesh))
+    # per-epoch evals reuse one compilation instead of recompiling each call.
+    # Keyed by value (EditorConfig is frozen/hashable, jax Mesh hashes by
+    # devices+axis names) — id() keys could alias a dead config after GC.
+    key = (ecfg, str(compute_dtype), mesh)
     eval_step = _EVAL_STEP_CACHE.get(key)
     if eval_step is None:
         eval_step = build_eval_step(ecfg, compute_dtype, mesh)

@@ -25,8 +25,9 @@ def normalize(x: Array, axis: int = -1) -> Array:
 def euclidean_dist(x: Array, y: Array) -> Array:
     """Pairwise euclidean distance with the reference's clamp(1e-12).sqrt()
     stabilization (triplet_loss.py:16-31)."""
-    xf = x.astype(jnp.float32)
-    yf = y.astype(jnp.float32)
+    cd = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(cd)
+    yf = y.astype(cd)
     xx = jnp.sum(xf * xf, axis=1, keepdims=True)
     yy = jnp.sum(yf * yf, axis=1, keepdims=True).T
     d = xx + yy - 2.0 * (xf @ yf.T)
@@ -45,7 +46,7 @@ def hard_example_mining(dist_mat: Array, labels: Array) -> Tuple[Array, Array]:
     (reference: triplet_loss.py:51-105)."""
     pos = (labels[:, None] == labels[None, :])
     neg = ~pos
-    inf = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    inf = jnp.asarray(jnp.finfo(dist_mat.dtype).max, dist_mat.dtype)
     dist_ap = jnp.max(jnp.where(pos, dist_mat, -inf), axis=1)
     dist_an = jnp.min(jnp.where(neg, dist_mat, inf), axis=1)
     return dist_ap, dist_an
@@ -85,7 +86,7 @@ def weighted_regularized_triplet(feat: Array, labels: Array,
     if normalize_feature:
         feat = normalize(feat)
     dist = euclidean_dist(feat, feat)
-    is_pos = (labels[:, None] == labels[None, :]).astype(jnp.float32)
+    is_pos = (labels[:, None] == labels[None, :]).astype(dist.dtype)
     is_neg = 1.0 - is_pos
     w_ap = _softmax_weights(dist * is_pos, is_pos)
     w_an = _softmax_weights(-dist * is_neg, is_neg)

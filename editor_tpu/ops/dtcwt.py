@@ -249,8 +249,16 @@ def scat_layer_j2(x: Array, magbias: float = 1e-2) -> Array:
         s1_j2.reshape(B, s1_j2.shape[1], s1_j2.shape[2], C * 6),
         s2_j1.reshape(B, s2_j1.shape[1], s2_j1.shape[2], C * 36),
     ]
-    # level-2 outputs carry a few rows/cols of q-shift filter growth;
-    # align every term to the smallest common spatial extent
+    # level-2 outputs carry a few rows/cols of q-shift filter growth; the
+    # growth is symmetric, so CENTER-crop every term to the smallest common
+    # extent (a top-left crop would spatially shift the larger terms by
+    # half the growth relative to s0/s1)
     h4 = min(p.shape[1] for p in parts)
     w4 = min(p.shape[2] for p in parts)
-    return jnp.concatenate([p[:, :h4, :w4] for p in parts], axis=-1)
+
+    def _center(p):
+        dh = (p.shape[1] - h4) // 2
+        dw = (p.shape[2] - w4) // 2
+        return p[:, dh:dh + h4, dw:dw + w4]
+
+    return jnp.concatenate([_center(p) for p in parts], axis=-1)

@@ -78,6 +78,15 @@ def _pallas_ln_matmul(x2, w, b, gamma, beta, eps, act):
     T, C = x2.shape
     O = w.shape[1]
     R = _pick_rows(T)
+    if T % R:
+        # no divisor of T in [8, 256]: pad the row axis up to a multiple of
+        # a full-size block so every output row is written, then slice the
+        # pad back off (zero rows LN to 0*rsqrt(eps) — finite, discarded).
+        R = 256
+        pad = R - T % R
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        out = _pallas_ln_matmul(x2, w, b, gamma, beta, eps, act)
+        return out[:T]
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, act=act),
         out_shape=jax.ShapeDtypeStruct((T, O), x2.dtype),

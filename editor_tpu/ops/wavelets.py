@@ -96,10 +96,11 @@ def _pad_axis(x: Array, axis: int, before: int, after: int, mode: str) -> Array:
 
 
 def _grouped_conv_axis(x: Array, kernels: Array, axis: int, stride: int,
-                       lhs_dilation: int = 1) -> Array:
+                       lhs_dilation: int = 1, rhs_dilation: int = 1) -> Array:
     """Correlate each channel of NHWC ``x`` with K 1-D kernels along ``axis``.
 
     kernels: [K, L]. Returns [..., C, K] stacked on a new trailing axis.
+    ``rhs_dilation`` dilates the KERNEL (à trous); ``lhs_dilation`` the input.
     """
     B, H, W, C = x.shape
     K, L = kernels.shape
@@ -108,16 +109,18 @@ def _grouped_conv_axis(x: Array, kernels: Array, axis: int, stride: int,
         kern = jnp.tile(kern, (1, 1, 1, C))    # O = C*K group-major: [c0k0,c0k1,c1k0,...]
         window_strides = (stride, 1)
         ld = (lhs_dilation, 1)
+        rd = (rhs_dilation, 1)
     elif axis == 2:
         kern = kernels.T.reshape(1, L, 1, K)
         kern = jnp.tile(kern, (1, 1, 1, C))
         window_strides = (1, stride)
         ld = (1, lhs_dilation)
+        rd = (1, rhs_dilation)
     else:
         raise ValueError(axis)
     y = jax.lax.conv_general_dilated(
         x, kern.astype(x.dtype), window_strides=window_strides,
-        padding="VALID", lhs_dilation=ld,
+        padding="VALID", lhs_dilation=ld, rhs_dilation=rd,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
         precision=jax.lax.Precision.HIGHEST,
@@ -246,6 +249,55 @@ def sfb2d(ll: Array, bands: Array, wave: str, mode: str = "zero") -> Array:
     lo_w = sfb1d(ll, lh, wave, axis=1, mode=mode)
     hi_w = sfb1d(hl, hh, wave, axis=1, mode=mode)
     return sfb1d(lo_w, hi_w, wave, axis=2, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# stationary (undecimated / à trous) transform
+# ---------------------------------------------------------------------------
+
+def _afb1d_atrous(x: Array, kernels: Array, axis: int, mode: str,
+                  dilation: int) -> Array:
+    """1D à trous analysis along ``axis``: no downsampling, kernel dilated by
+    ``dilation`` (reference afb1d_atrous, pytorch_wavelets/dwt/
+    lowlevel.py:175-223: pad (L2-dilation, L2) then dilated grouped conv)."""
+    L = kernels.shape[1]
+    L2 = L * dilation // 2
+    x = _pad_axis(x, axis, L2 - dilation, L2, mode)
+    return _grouped_conv_axis(x, kernels, axis, stride=1,
+                              rhs_dilation=dilation)
+
+
+def swt2(x: Array, wave: str = "haar", J: int = 1,
+         mode: str = "periodic") -> List[Tuple[Array, Array]]:
+    """2D stationary wavelet transform (reference SWTForward,
+    pytorch_wavelets/dwt/transform2d.py:151-210 over afb2d_atrous,
+    lowlevel.py:475-520).
+
+    Returns a list of J levels of ``(ll, bands)``; every output keeps the
+    full [B,H,W,C] extent (undecimated), bands stacked [B,H,W,C,3] in the
+    same (detail_H, detail_W, detail_diag) order as :func:`wavedec2`. Level
+    j uses filters dilated by 2**j on the previous level's ``ll``.
+
+    ``mode``: 'periodic' (wrap — the working equivalent of the reference's
+    'periodization' default, whose vendored mypad cannot actually pad),
+    'zero', 'symmetric' or 'reflect'.
+    """
+    dec_lo, dec_hi, _, _ = wavelet_filters(wave)
+    kernels = jnp.asarray(np.stack([dec_lo[::-1], dec_hi[::-1]]),
+                          dtype=x.dtype)
+    ll = x
+    out = []
+    for j in range(J):
+        d = 2 ** j
+        B, H, W, C = ll.shape
+        lohi = _afb1d_atrous(ll, kernels, 2, mode, d)          # [B,H,W,C,2]
+        y = _afb1d_atrous(lohi.reshape(B, H, W, C * 2), kernels, 1, mode, d)
+        y = y.reshape(B, H, W, C, 2, 2)      # [..., C, W-band, H-band]
+        ll = y[..., 0, 0]
+        bands = jnp.stack([y[..., 0, 1], y[..., 1, 0], y[..., 1, 1]],
+                          axis=-1)
+        out.append((ll, bands))
+    return out
 
 
 # ---------------------------------------------------------------------------

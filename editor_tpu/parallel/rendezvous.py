@@ -83,6 +83,10 @@ class _StoreHandler(socketserver.BaseRequestHandler):
                 cur = int(store.get(msg["key"], 0)) + int(msg["delta"])
                 store[msg["key"]] = cur
             _send(self.request, {"ok": True, "value": cur})
+        elif op == "delete":
+            with lock:
+                existed = store.pop(msg["key"], None) is not None
+            _send(self.request, {"ok": existed})
 
 
 class _StoreServer(socketserver.ThreadingTCPServer):
@@ -117,6 +121,9 @@ class TCPStore:
 
     def add(self, key: str, delta: int = 1) -> int:
         return self._call({"op": "add", "key": key, "delta": delta})["value"]
+
+    def delete(self, key: str) -> bool:
+        return self._call({"op": "delete", "key": key})["ok"]
 
     def compare_and_swap(self, key: str, expect, value):
         r = self._call({"op": "cas", "key": key, "expect": expect,
@@ -196,8 +203,17 @@ class DynamicRendezvous:
             newest = max(st["participants"].values())
             settled = (time.time() - newest) >= self.settle_s
             if n >= self.min_nodes and (settled or n >= self.max_nodes):
-                done = dict(st, complete=True)
-                if self._cas(self.store.get(self.key), done):
+                # re-read so the completed state is built from the SAME value
+                # used as the CAS expect — a node that CAS-joined since our
+                # earlier read must be included in the completing round, not
+                # silently parked in "waiting"
+                fresh = self.store.get(self.key)
+                fs = fresh or {"round": 0, "participants": {}, "waiting": {},
+                               "complete": False}
+                if fs["complete"] or self.node_id not in fs["participants"]:
+                    continue  # someone else completed / round restarted
+                done = dict(fs, complete=True)
+                if self._cas(fresh, done):
                     return self._finish(done)
                 continue
             time.sleep(0.05)
@@ -243,18 +259,22 @@ class StragglerError(TimeoutError):
 
 
 def monitored_barrier(store: TCPStore, name: str, rank: int, world_size: int,
-                      timeout: float = 30.0) -> None:
+                      timeout: float = 30.0, gen: int = 0) -> None:
     """Barrier that NAMES the straggler ranks on timeout (reference
     ``monitored_barrier``, distributed_c10d.py:2742-2805 — its point over a
     plain barrier is the diagnostic). Every rank registers arrival under
-    ``barrier/{name}/{rank}``; each rank then waits for all others and
-    raises :class:`StragglerError` listing whoever is missing."""
-    store.set(f"barrier/{name}/{rank}", True)
+    ``barrier/{gen}/{name}/{rank}``; each rank then waits for all others and
+    raises :class:`StragglerError` listing whoever is missing.
+
+    ``gen`` scopes the keys to a rendezvous round/generation: pass the
+    current round so a name reused after an elastic restart never matches
+    stale arrivals from the previous incarnation."""
+    store.set(f"barrier/{gen}/{name}/{rank}", True)
     deadline = time.time() + timeout
     missing = set(range(world_size)) - {rank}
     while missing and time.time() < deadline:
         for r in list(missing):
-            if store.get(f"barrier/{name}/{r}"):
+            if store.get(f"barrier/{gen}/{name}/{r}"):
                 missing.discard(r)
         if missing:
             time.sleep(0.05)
@@ -263,23 +283,26 @@ def monitored_barrier(store: TCPStore, name: str, rank: int, world_size: int,
 
 
 def all_gather_object(store: TCPStore, name: str, rank: int, world_size: int,
-                      obj, timeout: float = 30.0) -> list:
+                      obj, timeout: float = 30.0, gen: int = 0) -> list:
     """Object all-gather over the store (reference's pickle-to-tensor object
     collectives, distributed_c10d.py:1519-1940; used by the reference's DDP
     sampler for its shared seed, sampler_ddp.py:64-109). Values must be
     JSON-serializable — this is a host control-plane primitive, not a
-    tensor path."""
-    store.set(f"gather/{name}/{rank}", obj)
+    tensor path. ``gen`` scopes keys to a rendezvous round (see
+    :func:`monitored_barrier`)."""
+    store.set(f"gather/{gen}/{name}/{rank}", obj)
     out = []
     for r in range(world_size):
-        out.append(store.wait(f"gather/{name}/{r}", timeout=timeout))
+        out.append(store.wait(f"gather/{gen}/{name}/{r}", timeout=timeout))
     return out
 
 
 def broadcast_object(store: TCPStore, name: str, rank: int, obj=None,
-                     src: int = 0, timeout: float = 30.0):
-    """Object broadcast from ``src`` (reference broadcast_object_list)."""
+                     src: int = 0, timeout: float = 30.0, gen: int = 0):
+    """Object broadcast from ``src`` (reference broadcast_object_list).
+    ``gen`` scopes the key to a rendezvous round (see
+    :func:`monitored_barrier`)."""
     if rank == src:
-        store.set(f"bcast/{name}", obj)
+        store.set(f"bcast/{gen}/{name}", obj)
         return obj
-    return store.wait(f"bcast/{name}", timeout=timeout)
+    return store.wait(f"bcast/{gen}/{name}", timeout=timeout)

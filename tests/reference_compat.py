@@ -116,6 +116,16 @@ class RefCfg:
 
     class SOLVER:
         MARGIN = 0.3
+        # optimizer-factory fields (reference solver/make_optimizer.py:5-29);
+        # values mirror the reference RGBNT201 preset (configs/EDITOR.yml)
+        BASE_LR = 0.001
+        BIAS_LR_FACTOR = 2.0
+        WEIGHT_DECAY = 1e-4
+        WEIGHT_DECAY_BIAS = 1e-4
+        MOMENTUM = 0.9
+        LARGE_FC_LR = False
+        OPTIMIZER_NAME = "SGD"
+        CENTER_LR = 0.5
 
 
 class DummyWriter:

@@ -79,3 +79,55 @@ def test_odd_length_zero_mode():
     ll, highs = W.wavedec2(x, "db2", J=2, mode="zero")
     y = W.waverec2(ll, highs, "db2", mode="zero")
     np.testing.assert_allclose(np.asarray(y)[:, :30, :18], np.asarray(x), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# stationary wavelet transform (SWT / à trous)
+# ---------------------------------------------------------------------------
+
+def test_swt2_level1_matches_undecimated_dwt_haar():
+    """Level-1 SWT at phase 0 equals the decimated DWT: taking every other
+    sample of the undecimated output must reproduce afb2d (periodic mode,
+    where both paths see identical wrap-padding)."""
+    x = rand((2, 32, 16, 3), seed=3)
+    (ll_s, bands_s), = W.swt2(x, "haar", J=1, mode="periodic")
+    assert ll_s.shape == x.shape and bands_s.shape == x.shape + (3,)
+    ll_d, bands_d = W.afb2d(x, "haar", "periodization")
+    np.testing.assert_allclose(np.asarray(ll_s[:, ::2, ::2]),
+                               np.asarray(ll_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bands_s[:, ::2, ::2]),
+                               np.asarray(bands_d), atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("wave", ["haar", "db2"])
+@pytest.mark.parametrize("mode", ["periodic", "zero", "symmetric"])
+def test_swt2_matches_reference_atrous(wave, mode):
+    """Parity vs the reference's own à trous lowlevel
+    (pytorch_wavelets/dwt/lowlevel.py:175-223,475-520 — the compute core of
+    SWTForward, transform2d.py:151-210)."""
+    from tests.reference_compat import load_reference_modeling
+    load_reference_modeling()  # installs stubs + reference sys.path
+    import torch
+    from pytorch_wavelets.dwt import lowlevel as ref_ll
+
+    dec_lo, dec_hi, _, _ = W.wavelet_filters(wave)
+    filts = ref_ll.prep_filt_afb2d(dec_lo, dec_hi)
+    B, H, Wd, C = 2, 32, 16, 3
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(B, H, Wd, C).astype(np.float32)
+
+    ours = W.swt2(jnp.asarray(x_np), wave, J=3, mode=mode)
+
+    ll_t = torch.from_numpy(x_np.transpose(0, 3, 1, 2)).contiguous()
+    for j, (ll_j, bands_j) in enumerate(ours):
+        y = ref_ll.afb2d_atrous(ll_t, filts, mode, 2 ** j)
+        # grouped-conv channel interleave: [c, W-band, H-band]
+        y = y.reshape(B, C, 2, 2, H, Wd).numpy()
+        np.testing.assert_allclose(
+            np.asarray(ll_j).transpose(0, 3, 1, 2), y[:, :, 0, 0], atol=2e-5)
+        for b, (wb, hb) in enumerate(((0, 1), (1, 0), (1, 1))):
+            np.testing.assert_allclose(
+                np.asarray(bands_j[..., b]).transpose(0, 3, 1, 2),
+                y[:, :, wb, hb], atol=2e-5, err_msg=f"level {j} band {b}")
+        ll_t = torch.from_numpy(y[:, :, 0, 0]).contiguous()
