@@ -108,13 +108,108 @@ def _interleave(phases: dict) -> Array:
     return out
 
 
-def dtcwt2(x: Array, J: int = 2) -> Tuple[List[Array], List[Array]]:
+# ---------------------------------------------------------------------------
+# symmetric-extension double-rate filters (reference dtcwt/lowlevel.py:97-223
+# coldfilt/rowdfilt/colifilt/rowifilt + utils.py:166 symm_pad_1d): level-≥2
+# banks that keep subbands at exact powers of two — Kingsbury's scheme where
+# the two trees are the two phases of one double-rate symmetric filter pair.
+# ---------------------------------------------------------------------------
+
+def _symm_idx(l: int, m: int) -> np.ndarray:
+    """Half-sample symmetric extension indices over [-m, l+m) (reference
+    utils.py reflect/symm_pad_1d)."""
+    x = np.arange(-m, l + m, dtype=np.int64)
+    rng = l
+    mod = np.fmod(x + 0.5, 2 * rng)
+    mod = np.where(mod < 0, mod + 2 * rng, mod)
+    out = np.where(mod >= rng, 2 * rng - mod, mod) - 0.5
+    return np.round(out + 0.0).astype(np.int64)
+
+
+def _take(x: Array, idx: np.ndarray, axis: int) -> Array:
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
+def _corr1(x: Array, taps: np.ndarray, axis: int, stride: int = 1) -> Array:
+    k = jnp.asarray(np.asarray(taps, np.float64).reshape(1, -1), x.dtype)
+    return W._grouped_conv_axis(x, k, axis, stride=stride)[..., 0]
+
+
+def _ilv(parts: Sequence[Array], axis: int) -> Array:
+    """Interleave equal-shape tensors along ``axis`` (phase reassembly)."""
+    y = jnp.stack(parts, axis=axis + 1)
+    shp = list(parts[0].shape)
+    shp[axis] *= len(parts)
+    return y.reshape(shp)
+
+
+def _dfilt(x: Array, ha: np.ndarray, hb: np.ndarray, axis: int,
+           highpass: bool) -> Array:
+    """Decimating double-rate filter along ``axis`` (reference coldfilt/
+    rowdfilt): symmetric extension, ha on one polyphase stream, hb on the
+    other, interleaved back — N → N/2 exactly (N % 4 == 0)."""
+    r = x.shape[axis]
+    if r % 4:
+        raise ValueError(f"extent {r} along axis {axis} must be divisible "
+                         "by 4 for the symmetric qshift bank")
+    m = len(ha)
+    xe = _symm_idx(r, m)
+    y1 = _corr1(_take(x, xe[2::2], axis), ha[::-1], axis, stride=2)
+    y2 = _corr1(_take(x, xe[3::2], axis), hb[::-1], axis, stride=2)
+    pair = (y2, y1) if highpass else (y1, y2)
+    return _ilv(pair, axis)
+
+
+def _ifilt(x: Array, ha: np.ndarray, hb: np.ndarray, axis: int,
+           highpass: bool) -> Array:
+    """Interpolating double-rate filter (reference colifilt/rowifilt):
+    N → 2N via four polyphase branches of the even/odd taps."""
+    r = x.shape[axis]
+    if r % 2:
+        raise ValueError(f"extent {r} along axis {axis} must be even")
+    m = len(ha)
+    m2 = m // 2
+    har, hbr = np.asarray(ha)[::-1], np.asarray(hb)[::-1]
+    hao, hae = har[1::2], har[::2]
+    hbo, hbe = hbr[1::2], hbr[::2]
+    xe = _symm_idx(r, m2)
+    if m2 % 2 == 0:
+        ks = (hae, hbe, hao, hbo)
+        if highpass:
+            streams = (xe[1:-2:2], xe[:-2:2], xe[3::2], xe[2::2])
+        else:
+            streams = (xe[:-2:2], xe[1:-2:2], xe[2::2], xe[3::2])
+    else:
+        ks = (hao, hbo, hae, hbe)
+        if highpass:
+            streams = (xe[2:-1:2], xe[1:-1:2], xe[2:-1:2], xe[1:-1:2])
+        else:
+            streams = (xe[1:-1:2], xe[2:-1:2], xe[1:-1:2], xe[2:-1:2])
+    parts = [_corr1(_take(x, s, axis), k, axis) for s, k in zip(streams, ks)]
+    return _ilv(parts, axis)
+
+
+# qshift tree-B filters are the time-reverse of tree A; synthesis filters
+# the time-reverse of analysis (orthogonal bank)
+H0B, H1B = H0A[::-1].copy(), H1A[::-1].copy()
+G0A, G0B = H0A[::-1].copy(), H0A.copy()
+G1A, G1B = H1A[::-1].copy(), H1A.copy()
+
+
+def dtcwt2(x: Array, J: int = 2,
+           mode: str = "zero") -> Tuple[List[Array], List[Array]]:
     """Forward 2D DTCWT of NHWC ``x`` (even H and W).
 
     Returns:
       lows: 4 per-tree lowpass tensors at the coarsest scale (kept separate
         so the inverse is exact).
       highs: per level j, [B, H/2^j, W/2^j, C, 6, 2] oriented complex bands.
+
+    ``mode``: level-≥2 border handling. 'zero' (zero-extension per-tree
+    banks — subbands grow by the filter length at each level); 'symmetric'
+    (the reference default, transform2d.py/lowlevel.py:97-223: symmetric
+    double-rate banks keeping every subband at exactly half the previous
+    extent — requires extents divisible by 4 at each level).
     """
     # level 1: undecimated near_sym filtering, then polyphase split
     lo_w = _filter_same(x, H0O, axis=2)
@@ -125,12 +220,30 @@ def dtcwt2(x: Array, J: int = 2) -> Tuple[List[Array], List[Array]]:
         "hl": _filter_same(hi_w, H0O, axis=1),
         "hh": _filter_same(hi_w, H1O, axis=1),
     }
-    lows = {t: _phase(full["ll"], *t) for t in _TREES}
     level_bands = []
     for b in ("lh", "hl", "hh"):
         level_bands.extend(_q2c({t: _phase(full[b], *t) for t in _TREES}))
     highs = [jnp.stack(level_bands, axis=-2)]
 
+    if mode == "symmetric":
+        # interleaved-quad representation (the reference keeps all four
+        # trees as the 2x2 phases of one tensor through every level)
+        ll = full["ll"]
+        for j in range(2, J + 1):
+            lo = _dfilt(ll, H0B, H0A, axis=2, highpass=False)
+            hi = _dfilt(ll, H1B, H1A, axis=2, highpass=True)
+            lh = _dfilt(lo, H1B, H1A, axis=1, highpass=True)
+            hl = _dfilt(hi, H0B, H0A, axis=1, highpass=False)
+            hh = _dfilt(hi, H1B, H1A, axis=1, highpass=True)
+            ll = _dfilt(lo, H0B, H0A, axis=1, highpass=False)
+            level_bands = []
+            for band in (lh, hl, hh):
+                level_bands.extend(
+                    _q2c({t: _phase(band, *t) for t in _TREES}))
+            highs.append(jnp.stack(level_bands, axis=-2))
+        return [_phase(ll, *t) for t in _TREES], highs
+
+    lows = {t: _phase(full["ll"], *t) for t in _TREES}
     for j in range(2, J + 1):
         subs = {}
         for t in _TREES:
@@ -148,31 +261,48 @@ def dtcwt2(x: Array, J: int = 2) -> Tuple[List[Array], List[Array]]:
     return [lows[t] for t in _TREES], highs
 
 
-def idtcwt2(lows: Sequence[Array], highs: Sequence[Array]) -> Array:
+def idtcwt2(lows: Sequence[Array], highs: Sequence[Array],
+            mode: str = "zero") -> Array:
     """Inverse 2D DTCWT (exact in the interior; symmetric-border effects at
-    level 1 only)."""
+    level 1 only). ``mode`` must match the forward's."""
     J = len(highs)
     lows = {t: lows[i] for i, t in enumerate(_TREES)}
-    for j in range(J, 1, -1):
-        hb = highs[j - 1]
-        for t in _TREES:
-            pass
-        bands_by_tree = {t: [None, None, None] for t in _TREES}
-        for b in range(3):
-            quad = _c2q(hb[..., 2 * b, :], hb[..., 2 * b + 1, :])
+    if mode == "symmetric":
+        ll = _interleave(lows)
+        for j in range(J, 1, -1):
+            hb = highs[j - 1]
+            quads = []
+            for b in range(3):
+                quads.append(_interleave(
+                    _c2q(hb[..., 2 * b, :], hb[..., 2 * b + 1, :])))
+            lh, hl, hh = quads
+            hi = (_ifilt(hh, G1B, G1A, axis=1, highpass=True)
+                  + _ifilt(hl, G0B, G0A, axis=1, highpass=False))
+            lo = (_ifilt(lh, G1B, G1A, axis=1, highpass=True)
+                  + _ifilt(ll, G0B, G0A, axis=1, highpass=False))
+            ll = (_ifilt(hi, G1B, G1A, axis=2, highpass=True)
+                  + _ifilt(lo, G0B, G0A, axis=2, highpass=False))
+        lows = {t: _phase(ll, *t) for t in _TREES}
+    else:
+        for j in range(J, 1, -1):
+            hb = highs[j - 1]
+            bands_by_tree = {t: [None, None, None] for t in _TREES}
+            for b in range(3):
+                quad = _c2q(hb[..., 2 * b, :], hb[..., 2 * b + 1, :])
+                for t in _TREES:
+                    bands_by_tree[t][b] = quad[t]
             for t in _TREES:
-                bands_by_tree[t][b] = quad[t]
-        for t in _TREES:
-            fr = _qshift_bank(t[0])
-            fc = _qshift_bank(t[1])
-            lh, hl, hh = bands_by_tree[t]
-            ll = lows[t]
-            for ax in (1, 2):
-                if ll.shape[ax] > lh.shape[ax]:
-                    ll = jax.lax.slice_in_dim(ll, 0, lh.shape[ax], axis=ax)
-            lo_w = W.sfb1d(ll, lh, fc, axis=1, mode="zero")
-            hi_w = W.sfb1d(hl, hh, fc, axis=1, mode="zero")
-            lows[t] = W.sfb1d(lo_w, hi_w, fr, axis=2, mode="zero")
+                fr = _qshift_bank(t[0])
+                fc = _qshift_bank(t[1])
+                lh, hl, hh = bands_by_tree[t]
+                ll = lows[t]
+                for ax in (1, 2):
+                    if ll.shape[ax] > lh.shape[ax]:
+                        ll = jax.lax.slice_in_dim(ll, 0, lh.shape[ax],
+                                                  axis=ax)
+                lo_w = W.sfb1d(ll, lh, fc, axis=1, mode="zero")
+                hi_w = W.sfb1d(hl, hh, fc, axis=1, mode="zero")
+                lows[t] = W.sfb1d(lo_w, hi_w, fr, axis=2, mode="zero")
 
     # level 1: reassemble full-resolution subbands, undecimated inverse
     hb = highs[0]
@@ -233,7 +363,10 @@ def scat_layer_j2(x: Array, magbias: float = 1e-2) -> Array:
         the level-1 magnitude images, 36C) ].
     """
     B, H, Wd, C = x.shape
-    lows, highs = dtcwt2(x, J=2)
+    # symmetric mode (the reference default): level-2 subbands land at
+    # exactly H/4 x W/4, so all four term groups align with no crop
+    mode = "symmetric" if H % 8 == 0 and Wd % 8 == 0 else "zero"
+    lows, highs = dtcwt2(x, J=2, mode=mode)
     s0 = sum(lows) / 4.0                               # [B, H/4, W/4, C]
     m1 = _smooth_mag(highs[0], magbias)                # [B, H/2, W/2, C, 6]
     h2, w2 = m1.shape[1:3]

@@ -21,8 +21,14 @@ from editor_tpu.parallel.tp import (  # noqa: F401
 )
 from editor_tpu.parallel.rendezvous import (  # noqa: F401
     DynamicRendezvous,
+    FileStore,
+    RendezvousClosedError,
+    RendezvousHandler,
+    RendezvousHandlerRegistry,
+    RendezvousParameters,
     TCPStore,
     all_gather_object,
     broadcast_object,
     monitored_barrier,
+    rendezvous_registry,
 )

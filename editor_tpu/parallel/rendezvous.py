@@ -21,14 +21,17 @@ compare-and-swap so concurrent joins are race-free.
 
 from __future__ import annotations
 
+import abc
+import dataclasses
 import json
+import os
 import socket
 import socketserver
 import struct
 import threading
 import time
 import uuid
-from typing import Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 
 def _send(sock, obj):
@@ -244,6 +247,270 @@ class DynamicRendezvous:
 
     def is_closed(self) -> bool:
         return bool(self.store.get(self.key + "/closed"))
+
+
+# ---------------------------------------------------------------------------
+# file-backed store (a second backend sharing the DynamicRendezvous state
+# machine — the reference's c10d-store vs etcd split,
+# elastic/rendezvous/c10d_rendezvous_backend.py:33 / etcd_rendezvous.py:77)
+# ---------------------------------------------------------------------------
+
+class FileStore:
+    """Same duck-typed API as :class:`TCPStore` over one JSON file guarded by
+    an ``fcntl`` lock — rendezvous for co-hosted processes without a network
+    server (torch FileStore equivalent)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lock_path = path + ".lock"
+        open(self._lock_path, "a").close()
+
+    def _locked(self, fn):
+        import fcntl
+        with open(self._lock_path, "r+") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(self.path):
+                    with open(self.path) as f:
+                        kv = json.load(f)
+                else:
+                    kv = {}
+                out, dirty = fn(kv)
+                if dirty:
+                    tmp = self.path + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(kv, f)
+                    os.replace(tmp, self.path)
+                return out
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+    def set(self, key: str, value) -> None:
+        self._locked(lambda kv: (kv.__setitem__(key, value), True))
+
+    def get(self, key: str):
+        return self._locked(lambda kv: (kv.get(key), False))
+
+    def add(self, key: str, delta: int = 1) -> int:
+        def op(kv):
+            cur = int(kv.get(key, 0)) + int(delta)
+            kv[key] = cur
+            return cur, True
+        return self._locked(op)
+
+    def delete(self, key: str) -> bool:
+        def op(kv):
+            return kv.pop(key, None) is not None, True
+        return self._locked(op)
+
+    def compare_and_swap(self, key: str, expect, value):
+        def op(kv):
+            cur = kv.get(key)
+            if cur == expect:
+                kv[key] = value
+                return (True, value), True
+            return (False, cur), False
+        return self._locked(op)
+
+    def wait(self, key: str, timeout: float = 30.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            v = self.get(key)
+            if v is not None:
+                return v
+            time.sleep(0.05)
+        raise TimeoutError(f"store key {key!r} not set within {timeout}s")
+
+    def close(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# handler ABC + pluggable backend registry
+# (reference elastic/rendezvous/api.py:33 RendezvousHandler,
+#  api.py:208 RendezvousHandlerRegistry)
+# ---------------------------------------------------------------------------
+
+class RendezvousClosedError(RuntimeError):
+    """The rendezvous was permanently closed (reference api.py:13)."""
+
+
+@dataclasses.dataclass
+class RendezvousParameters:
+    """Backend-agnostic rendezvous configuration (reference api.py:119-198).
+
+    ``endpoint``: 'host:port' for the c10d backend, a filesystem path for
+    the file backend; ``config`` carries backend-specific extras (e.g.
+    ``rank``/``world_size`` for the static backend, ``is_server``/
+    ``settle_s``/``node_id`` for the dynamic ones)."""
+
+    backend: str
+    endpoint: str
+    run_id: str
+    min_nodes: int = 1
+    max_nodes: int = 1
+    config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def get(self, key: str, default=None):
+        return self.config.get(key, default)
+
+
+class RendezvousHandler(abc.ABC):
+    """Rendezvous interface (reference api.py:33-117): negotiate
+    (rank, world_size) and hand back the store used for follow-up host
+    collectives."""
+
+    @abc.abstractmethod
+    def get_backend(self) -> str: ...
+
+    @abc.abstractmethod
+    def next_rendezvous(self, timeout: float = 30.0) -> Tuple[Any, int, int]:
+        """Blocks until a round settles; returns (store, rank, world_size)."""
+
+    @abc.abstractmethod
+    def is_closed(self) -> bool: ...
+
+    @abc.abstractmethod
+    def set_closed(self) -> None: ...
+
+    @abc.abstractmethod
+    def num_nodes_waiting(self) -> int: ...
+
+    @abc.abstractmethod
+    def get_run_id(self) -> str: ...
+
+    def shutdown(self) -> bool:
+        return True
+
+
+class _DynamicHandler(RendezvousHandler):
+    """DynamicRendezvous state machine over any store (c10d/file backends)."""
+
+    def __init__(self, backend: str, store, params: RendezvousParameters):
+        self._backend = backend
+        self.store = store
+        self.run_id = params.run_id
+        self._rdzv = DynamicRendezvous(
+            store, params.run_id, params.min_nodes, params.max_nodes,
+            settle_s=float(params.get("settle_s", 0.3)),
+            node_id=params.get("node_id"))
+
+    def get_backend(self) -> str:
+        return self._backend
+
+    def next_rendezvous(self, timeout: float = 30.0):
+        if self.is_closed():
+            raise RendezvousClosedError(self.run_id)
+        _, rank, world = self._rdzv.next_rendezvous(timeout=timeout)
+        return self.store, rank, world
+
+    def is_closed(self) -> bool:
+        return self._rdzv.is_closed()
+
+    def set_closed(self) -> None:
+        self._rdzv.set_closed()
+
+    def num_nodes_waiting(self) -> int:
+        return self._rdzv.num_nodes_waiting()
+
+    def get_run_id(self) -> str:
+        return self.run_id
+
+    def restart_round(self) -> None:
+        self._rdzv.restart_round()
+
+    def shutdown(self) -> bool:
+        self.store.close()
+        return True
+
+
+class _StaticHandler(RendezvousHandler):
+    """Fixed-membership rendezvous: rank/world_size from config, no
+    negotiation (the reference's 'static' torchrun backend)."""
+
+    def __init__(self, store, params: RendezvousParameters):
+        self.store = store
+        self.params = params
+        self._closed = False
+
+    def get_backend(self) -> str:
+        return "static"
+
+    def next_rendezvous(self, timeout: float = 30.0):
+        if self._closed:
+            raise RendezvousClosedError(self.params.run_id)
+        rank = int(self.params.get("rank", 0))
+        world = int(self.params.get("world_size", self.params.max_nodes))
+        return self.store, rank, world
+
+    def is_closed(self) -> bool:
+        return self._closed
+
+    def set_closed(self) -> None:
+        self._closed = True
+
+    def num_nodes_waiting(self) -> int:
+        return 0
+
+    def get_run_id(self) -> str:
+        return self.params.run_id
+
+
+class RendezvousHandlerRegistry:
+    """Name → creator registry (reference api.py:208-263)."""
+
+    def __init__(self):
+        self._registry: Dict[str, Callable[[RendezvousParameters],
+                                           RendezvousHandler]] = {}
+
+    def register(self, backend: str, creator) -> None:
+        if not backend:
+            raise ValueError("backend name must be non-empty")
+        cur = self._registry.get(backend)
+        if cur is not None and cur is not creator:
+            raise ValueError(
+                f"backend '{backend}' already registered with {cur!r}")
+        self._registry[backend] = creator
+
+    def create_handler(self, params: RendezvousParameters) -> RendezvousHandler:
+        try:
+            creator = self._registry[params.backend]
+        except KeyError:
+            raise ValueError(
+                f"rendezvous backend '{params.backend}' is not registered; "
+                f"have {sorted(self._registry)}")
+        handler = creator(params)
+        if handler.get_backend() != params.backend:
+            raise RuntimeError(
+                f"handler backend '{handler.get_backend()}' does not match "
+                f"requested '{params.backend}'")
+        return handler
+
+
+def _create_c10d(params: RendezvousParameters) -> RendezvousHandler:
+    host, _, port = params.endpoint.rpartition(":")
+    store = TCPStore(host or "127.0.0.1", int(port),
+                     is_server=bool(params.get("is_server", False)))
+    return _DynamicHandler("c10d", store, params)
+
+
+def _create_file(params: RendezvousParameters) -> RendezvousHandler:
+    return _DynamicHandler("file", FileStore(params.endpoint), params)
+
+
+def _create_static(params: RendezvousParameters) -> RendezvousHandler:
+    store = None
+    if ":" in params.endpoint:
+        host, _, port = params.endpoint.rpartition(":")
+        store = TCPStore(host or "127.0.0.1", int(port),
+                         is_server=int(params.get("rank", 0)) == 0)
+    return _StaticHandler(store, params)
+
+
+rendezvous_registry = RendezvousHandlerRegistry()
+rendezvous_registry.register("c10d", _create_c10d)
+rendezvous_registry.register("file", _create_file)
+rendezvous_registry.register("static", _create_static)
 
 
 # ---------------------------------------------------------------------------

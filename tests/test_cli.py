@@ -59,7 +59,11 @@ def test_cli_train_end_to_end(tiny_root, tmp_path):
         "TPU.MESH_DATA", "1",
         "OUTPUT_DIR", out,
     ])
-    assert 0.0 <= result["best"]["mAP"] <= 1.0
+    # plumbing check only: a real mAP came back (learning quality is gated
+    # by test_cli_train_learns_synthetic_identities below, which requires
+    # mAP >= 0.9 on separable identities)
+    assert np.isfinite(result["best"]["mAP"])
+    assert result["best"]["mAP"] > 0.0
     assert os.path.exists(os.path.join(out, "train_log.txt"))
     assert os.path.exists(os.path.join(out, "config.yaml"))
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
@@ -134,3 +138,80 @@ def test_cli_train_tp_mesh(tiny_root, tmp_path):
     assert result["state"] is not None
     log = open(os.path.join(out, "train_log.txt")).read()
     assert "Megatron-split" in log
+
+
+@pytest.fixture(scope="module")
+def separable_root(tmp_path_factory):
+    """Strongly separable synthetic identities: each pid gets a distinct
+    solid-color + geometric-pattern prototype, rendered under 2 cameras with
+    mild noise. Retrieval on this data is near-trivially learnable — the
+    trainability oracle SURVEY.md §4 calls for in a dataset-free environment."""
+    root = str(tmp_path_factory.mktemp("learndata"))
+    base = osp.join(root, "RGBNT201")
+    n_pid = 8
+    protos = {}
+    for pid in range(n_pid):
+        rng = np.random.RandomState(1000 + pid)
+        img = np.zeros((64, 32, 3), np.float32)
+        img[..., :] = rng.randint(0, 255, (3,))          # identity color
+        r0, c0 = rng.randint(0, 48), rng.randint(0, 24)  # identity patch
+        img[r0:r0 + 16, c0:c0 + 8] = rng.randint(0, 255, (3,))
+        protos[pid] = img
+    idx = 0
+    for split, per_cam in (("train_171", 2), ("test", 2)):
+        for pid in range(n_pid):
+            for cam in (1, 2):
+                for k in range(per_cam):
+                    noisy = np.clip(protos[pid] + np.random.RandomState(
+                        idx).randn(64, 32, 3) * 8, 0, 255).astype(np.uint8)
+                    name = f"{pid:06d}_cam{cam}_{idx}.jpg"
+                    for mod in ("RGB", "NI", "TI"):
+                        p = osp.join(base, split, mod, name)
+                        os.makedirs(osp.dirname(p), exist_ok=True)
+                        Image.fromarray(noisy).save(p)
+                    idx += 1
+    return root
+
+
+@pytest.mark.slow
+def test_cli_train_learns_synthetic_identities(separable_root, tmp_path):
+    """End-to-end LEARNING proof: mAP on separable synthetic identities must
+    reach >=0.9 after training and clearly beat the untrained model — the
+    strongest trainability claim available without real datasets (replaces a
+    vacuous 0<=mAP<=1 check; reference training loop engine/processor.py)."""
+    common = [
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.PRETRAIN_CHOICE", "random",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "INPUT.SIZE_TEST", "[64, 32]",
+        "INPUT.RE_PROB", "0.0",
+        "DATASETS.NAMES", "RGBNT201",
+        "DATASETS.ROOT_DIR", separable_root,
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TPU.MESH_DATA", "1",
+    ]
+    from editor_tpu.cli.test import main as test_main
+    _, mAP_untrained = test_main(common + [
+        "TEST.IMS_PER_BATCH", "8",
+        "SOLVER.SEED", "3",
+        "OUTPUT_DIR", str(tmp_path / "untrained"),
+    ])
+
+    from editor_tpu.cli.train import main as train_main
+    result = train_main(common + [
+        "DATALOADER.NUM_INSTANCE", "2",
+        "DATALOADER.NUM_WORKERS", "2",
+        "SOLVER.IMS_PER_BATCH", "8",
+        "SOLVER.MAX_EPOCHS", "30",
+        "SOLVER.WARMUP_ITERS", "2",
+        "SOLVER.EVAL_PERIOD", "10",
+        "SOLVER.CHECKPOINT_PERIOD", "30",
+        "SOLVER.LOG_PERIOD", "4",
+        "SOLVER.SEED", "3",
+        "OUTPUT_DIR", str(tmp_path / "trained"),
+    ])
+    mAP = result["best"]["mAP"]
+    assert mAP >= 0.9, (mAP, mAP_untrained)
+    assert mAP > mAP_untrained + 0.2, (mAP, mAP_untrained)

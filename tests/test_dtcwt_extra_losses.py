@@ -110,3 +110,70 @@ def test_hetero_and_multimodal_margin():
     assert h < 0.1  # nearly aligned modalities
     m = float(multi_modal_margin_loss(f1, f2, f3, targets, P, K, margin=3.0))
     assert m > 0  # |margin - tiny distance| is ~margin per class
+
+
+# ---------------------------------------------------------------------------
+# symmetric (reference-default) level->=2 mode: power-of-two subbands
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("J", [2, 3])
+def test_dtcwt_symmetric_shapes_and_roundtrip(J):
+    """Symmetric double-rate banks keep every subband at exactly half the
+    previous extent (the reference's shape behavior, transform2d.py +
+    lowlevel.py:97-223) and reconstruct exactly (interior PR of the qshift
+    scheme; borders within the same tolerance as level 1)."""
+    from editor_tpu.ops.dtcwt import dtcwt2, idtcwt2
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 32, 3))
+    lows, highs = dtcwt2(x, J=J, mode="symmetric")
+    for j, h in enumerate(highs, start=1):
+        assert h.shape == (2, 64 >> j, 32 >> j, 3, 6, 2), (j, h.shape)
+    for lo in lows:
+        assert lo.shape == (2, 64 >> J, 32 >> J, 3)
+    y = idtcwt2(lows, highs, mode="symmetric")
+    assert y.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_symmetric_filters_match_reference_lowlevel():
+    """_dfilt/_ifilt parity vs the reference's own coldfilt/rowdfilt/
+    colifilt/rowifilt with the reference's qshift_a coefficients
+    (pytorch_wavelets/dtcwt/lowlevel.py:97-223)."""
+    from tests.reference_compat import load_reference_modeling
+    load_reference_modeling()
+    import torch
+    from pytorch_wavelets.dtcwt import lowlevel as ref_ll
+    from editor_tpu.ops import dtcwt as D
+
+    coef = np.load(
+        "/root/reference/pytorch_wavelets/dtcwt/data/qshift_a.npz")
+    # my module constants must BE the reference bank
+    np.testing.assert_allclose(D.H0A, coef["h0a"].ravel(), atol=1e-12)
+    np.testing.assert_allclose(D.H0B, coef["h0b"].ravel(), atol=1e-12)
+    np.testing.assert_allclose(D.H1A, coef["h1a"].ravel(), atol=1e-12)
+    np.testing.assert_allclose(D.G0A, coef["g0a"].ravel(), atol=1e-12)
+    np.testing.assert_allclose(D.G1B, coef["g1b"].ravel(), atol=1e-12)
+
+    prep = ref_ll.prep_filt
+    h0a, h0b = prep(coef["h0a"], 1), prep(coef["h0b"], 1)
+    g0a, g0b = prep(coef["g0a"], 1), prep(coef["g0b"], 1)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 24).astype(np.float32)
+    xt = torch.from_numpy(x)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    to_t = lambda a: np.asarray(a).transpose(0, 3, 1, 2)
+
+    for hp in (False, True):
+        ref = ref_ll.coldfilt(xt, h0b, h0a, highpass=hp).numpy()
+        ours = D._dfilt(xj, D.H0B, D.H0A, axis=1, highpass=hp)
+        np.testing.assert_allclose(to_t(ours), ref, atol=1e-5)
+        ref = ref_ll.rowdfilt(xt, h0b, h0a, highpass=hp).numpy()
+        ours = D._dfilt(xj, D.H0B, D.H0A, axis=2, highpass=hp)
+        np.testing.assert_allclose(to_t(ours), ref, atol=1e-5)
+        ref = ref_ll.colifilt(xt, g0b, g0a, highpass=hp).numpy()
+        ours = D._ifilt(xj, D.G0B, D.G0A, axis=1, highpass=hp)
+        np.testing.assert_allclose(to_t(ours), ref, atol=1e-5)
+        ref = ref_ll.rowifilt(xt, g0b, g0a, highpass=hp).numpy()
+        ours = D._ifilt(xj, D.G0B, D.G0A, axis=2, highpass=hp)
+        np.testing.assert_allclose(to_t(ours), ref, atol=1e-5)

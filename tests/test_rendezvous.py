@@ -171,3 +171,93 @@ def test_object_collectives():
         assert broadcast_object(st, "seed", rank=1) == 1234 == seed
     finally:
         server.close()
+
+
+# ---------------------------------------------------------------------------
+# pluggable backend registry (reference elastic/rendezvous/api.py:33,208)
+# ---------------------------------------------------------------------------
+
+def test_registry_rejects_unknown_and_mismatched_backends():
+    from editor_tpu.parallel.rendezvous import (RendezvousHandlerRegistry,
+                                                RendezvousParameters,
+                                                rendezvous_registry)
+    import pytest
+    with pytest.raises(ValueError, match="not registered"):
+        rendezvous_registry.create_handler(
+            RendezvousParameters("nope", "", "run"))
+    reg = RendezvousHandlerRegistry()
+    reg.register("a", lambda p: None)
+    with pytest.raises(ValueError, match="already registered"):
+        reg.register("a", lambda p: None)
+
+
+def test_static_backend_returns_fixed_membership():
+    from editor_tpu.parallel.rendezvous import (RendezvousParameters,
+                                                rendezvous_registry)
+    h = rendezvous_registry.create_handler(RendezvousParameters(
+        "static", "", "job1", config={"rank": 3, "world_size": 8}))
+    store, rank, world = h.next_rendezvous()
+    assert (rank, world) == (3, 8)
+    assert h.num_nodes_waiting() == 0
+    h.set_closed()
+    import pytest
+    from editor_tpu.parallel.rendezvous import RendezvousClosedError
+    with pytest.raises(RendezvousClosedError):
+        h.next_rendezvous()
+
+
+def test_file_backend_dynamic_rendezvous(tmp_path):
+    """Three nodes over the FILE backend settle into one round with distinct
+    ranks — exercises the same DynamicRendezvous state machine as c10d but
+    through the fcntl-locked FileStore."""
+    import threading
+    from editor_tpu.parallel.rendezvous import (RendezvousParameters,
+                                                rendezvous_registry)
+    path = str(tmp_path / "rdzv.json")
+    results = {}
+
+    def node(i):
+        h = rendezvous_registry.create_handler(RendezvousParameters(
+            "file", path, "job2", min_nodes=3, max_nodes=3,
+            config={"node_id": f"n{i}"}))
+        store, rank, world = h.next_rendezvous(timeout=20.0)
+        results[i] = (rank, world)
+
+    ts = [threading.Thread(target=node, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert len(results) == 3
+    assert sorted(r for r, _ in results.values()) == [0, 1, 2]
+    assert all(w == 3 for _, w in results.values())
+
+
+def test_file_store_collectives(tmp_path):
+    """Host object collectives run unchanged over the file backend."""
+    from editor_tpu.parallel.rendezvous import (FileStore, all_gather_object,
+                                                broadcast_object)
+    st = FileStore(str(tmp_path / "s.json"))
+    st.set("x", {"a": 1})
+    assert st.get("x") == {"a": 1}
+    assert st.add("n", 2) == 2 and st.add("n", 3) == 5
+    ok, v = st.compare_and_swap("x", {"a": 1}, {"a": 2})
+    assert ok and v == {"a": 2}
+    ok, v = st.compare_and_swap("x", {"a": 1}, {"a": 3})
+    assert not ok and v == {"a": 2}
+    assert st.delete("x") and not st.delete("x")
+
+    import threading
+    out = {}
+
+    def rank_fn(r):
+        out[r] = all_gather_object(st, "g", r, 2, r * 10, gen=1)
+
+    ts = [threading.Thread(target=rank_fn, args=(r,)) for r in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(10)
+    assert out[0] == out[1] == [0, 10]
+    assert broadcast_object(st, "b", rank=0, obj=42, gen=1) == 42
+    assert broadcast_object(st, "b", rank=1, gen=1) == 42

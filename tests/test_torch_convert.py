@@ -164,3 +164,116 @@ def test_editor_torch_checkpoint_import(tmp_path):
     feat, _ = editor_apply(new_p, new_s, ecfg, imgs,
                            cam_ids=jnp.zeros(2, jnp.int32), training=False)
     assert np.isfinite(np.asarray(feat)).all()
+
+
+# ---------------------------------------------------------------------------
+# converter robustness matrix (reference vit_pytorch.py:646-690):
+# grid resizes, distilled tokens, module.-prefixed EDITOR state dicts
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gs_old,new_hw", [(14, (16, 8)),   # 224² → 256×128
+                                           (14, (8, 16)),
+                                           (24, (16, 8)),
+                                           (7, (12, 6))])
+def test_resize_pos_embed_matrix_vs_reference(gs_old, new_hw):
+    """Our numpy half-pixel bilinear == torch F.interpolate(bilinear,
+    align_corners=False) across a matrix of source grids and target aspect
+    ratios (reference resize_pos_embed, vit_pytorch.py:674-690)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    C = 32
+    rng = np.random.RandomState(gs_old)
+    pe = rng.randn(1, 1 + gs_old * gs_old, C).astype(np.float32)
+    h, w = new_hw
+
+    ours = TC.resize_pos_embed(pe, (h, w))
+
+    t = torch.from_numpy(pe[0, 1:]).reshape(1, gs_old, gs_old, C)
+    t = t.permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=(h, w), mode="bilinear")
+    ref = np.concatenate(
+        [pe[:, :1], t.permute(0, 2, 3, 1).reshape(1, h * w, C).numpy()], 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_load_imagenet_vit_distilled_resize(tmp_path):
+    """A timm-style distilled 224² checkpoint loads into a 256×128 config:
+    the dist token is dropped (reference load_param 'distilled' branch,
+    vit_pytorch.py:661-663), head/dist keys ignored, the grid bilinearly
+    resized, and the cls row carried through untouched."""
+    torch = pytest.importorskip("torch")
+
+    cfg = ViTConfig(img_size=(256, 128), patch_size=16, stride_size=(16, 16),
+                    embed_dim=32, depth=1, num_heads=4, camera=2)
+    params = vit_init(jax.random.PRNGKey(1), cfg)
+
+    sd = TC._tree_to_sd(params)
+    del sd["sie_embed"], sd["fc.weight"], sd["fc.bias"]
+    rng = np.random.RandomState(0)
+    pe224 = rng.randn(1, 2 + 14 * 14, 32).astype(np.float32)  # cls+dist+196
+    sd["pos_embed"] = pe224
+    sd["dist_token"] = rng.randn(1, 1, 32).astype(np.float32)
+    sd["head.weight"] = rng.randn(10, 32).astype(np.float32)
+    sd["head_dist.bias"] = rng.randn(10).astype(np.float32)
+    path = str(tmp_path / "deit_distilled_patch16_224.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+
+    loaded = TC.load_imagenet_vit(path, cfg, params)
+    assert loaded["pos_embed"].shape == (1, 1 + cfg.num_patches, 32)
+    # cls row kept verbatim; grid equals our resize of the dist-stripped grid
+    np.testing.assert_allclose(np.asarray(loaded["pos_embed"][:, :1]),
+                               pe224[:, :1], atol=1e-6)
+    expect = TC.resize_pos_embed(
+        np.concatenate([pe224[:, :1], pe224[:, 2:]], 1),
+        (cfg.num_y, cfg.num_x))
+    np.testing.assert_allclose(np.asarray(loaded["pos_embed"]), expect,
+                               atol=1e-6)
+    # our sie_embed kept (absent from the checkpoint)
+    np.testing.assert_allclose(np.asarray(loaded["sie_embed"]),
+                               np.asarray(params["sie_embed"]), atol=1e-6)
+
+
+def test_editor_module_prefix_import(tmp_path):
+    """An EDITOR checkpoint saved with DataParallel 'module.' prefixes
+    converts identically to the bare one (reference EDITOR.load_param strip,
+    make_model.py:144-148)."""
+    torch = pytest.importorskip("torch")
+    from tests.reference_compat import load_reference_modeling, RefCfg
+
+    torch_mods = load_reference_modeling()
+    import modeling.backbones.vit_pytorch as vp
+    from functools import partial
+
+    def tiny(img_size=(256, 128), stride_size=16, camera=0, sie_xishu=1.5,
+             local_feature=False, **kw):
+        kw.pop("drop_rate", None), kw.pop("attn_drop_rate", None)
+        kw.pop("drop_path_rate", None)
+        return vp.Trans(img_size=img_size, patch_size=16,
+                        stride_size=stride_size, embed_dim=768, depth=1,
+                        num_heads=12, mlp_ratio=4, qkv_bias=True,
+                        camera=camera, view=0,
+                        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+                        sie_xishu=sie_xishu, local_feature=local_feature)
+
+    torch.manual_seed(0)
+    ref = torch_mods.EDITOR(8, RefCfg, 2, {"vit_base_patch16_224": tiny})
+    sd = ref.state_dict()
+    p_bare = str(tmp_path / "bare.pth")
+    p_mod = str(tmp_path / "module.pth")
+    torch.save(sd, p_bare)
+    torch.save({"module." + k: v for k, v in sd.items()}, p_mod)
+
+    vit_cfg = ViTConfig(img_size=(128, 64), patch_size=16,
+                        stride_size=(16, 16), embed_dim=768, depth=1,
+                        num_heads=12, camera=2, num_fc_classes=8)
+    ecfg = EditorConfig(num_classes=8, vit=vit_cfg, head_keep=2,
+                        frequency_keep=3, use_pallas=False)
+    params, state = editor_init(jax.random.PRNGKey(0), ecfg)
+    p1, s1 = TC.convert_editor_from_torch(p_bare, ecfg, params, state)
+    p2, s2 = TC.convert_editor_from_torch(p_mod, ecfg, params, state)
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path((p1, s1)),
+                               jax.tree_util.tree_leaves_with_path((p2, s2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(kp))
