@@ -25,17 +25,21 @@ def build_eval_step(ecfg: EditorConfig, compute_dtype=jnp.bfloat16,
                     mesh: Optional[Mesh] = None) -> Callable:
     """Returns extract(params, model_state, batch) -> [B, M*dim] features."""
 
+    tp_mesh = (mesh if mesh is not None
+               and mesh.shape.get("model", 1) > 1 else None)
+
     def eval_fn(params, model_state, batch):
         images = {k: batch[k].astype(compute_dtype)
                   for k in ("RGB", "NI", "TI") if k in batch}
         feat, _ = editor_apply(params, model_state, ecfg, images,
-                               cam_ids=batch.get("camid"), training=False)
+                               cam_ids=batch.get("camid"), training=False,
+                               tp_mesh=tp_mesh)
         return feat.astype(jnp.float32)
 
     if mesh is not None:
-        repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        return jax.jit(eval_fn, in_shardings=(repl, repl, data),
+        # params keep their committed shardings (replicated or Megatron-TP)
+        return jax.jit(eval_fn, in_shardings=(None, None, data),
                        out_shardings=data)
     return jax.jit(eval_fn)
 

@@ -101,6 +101,16 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
         params["BACKBONE"] = load_imagenet_vit(
             cfg.MODEL.PRETRAIN_PATH_T, ecfg.vit, params["BACKBONE"])
         logger.info("Loaded ImageNet backbone from %s", cfg.MODEL.PRETRAIN_PATH_T)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # shard-major qkv column layout so each Megatron shard is a
+        # self-contained [q|k|v] block for its own heads (parallel/tp.py) —
+        # the fused attention kernels then run per-shard via shard_map.
+        # NOTE: checkpoints written by this run keep the TP layout; resume
+        # with the same MESH_MODEL (or convert with permute_qkv_params
+        # inverse=True).
+        from editor_tpu.parallel.tp import permute_qkv_params
+        params = permute_qkv_params(params, ecfg.vit.num_heads,
+                                    mesh.shape["model"])
     opt = make_optimizer(cfg, params)
     state = make_train_state(key, ecfg, opt)
     state = TrainState(params=params, opt_state=opt.init(params),

@@ -74,6 +74,9 @@ def build_train_step(
     reference bases.py:89-107).
     """
 
+    tp_mesh = (mesh if mesh is not None
+               and mesh.shape.get("model", 1) > 1 else None)
+
     def step_fn(state: TrainState, batch: Dict[str, Array], epoch: Array):
         rng, step_rng = jax.random.split(state.rng)
         if augment is not None:
@@ -92,7 +95,7 @@ def build_train_step(
         def loss_of(params):
             out, new_mstate = editor_apply(
                 params, state.model_state, ecfg, images, labels=labels,
-                cam_ids=cams, training=True, rng=step_rng)
+                cam_ids=cams, training=True, rng=step_rng, tp_mesh=tp_mesh)
             # output-tuple protocol (processor.py:83-92): every (score, feat)
             # pair through loss_func, plus the trailing aux loss
             total = jnp.asarray(0.0, jnp.float32)

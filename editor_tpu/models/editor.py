@@ -137,7 +137,7 @@ class EditorTrainOutput:
 
 def _shared_backbone(params, cfg: EditorConfig, mods: List[Array],
                      cam: Optional[Array], view: Optional[Array],
-                     training: bool, rng: Optional[Array]):
+                     training: bool, rng: Optional[Array], tp_mesh=None):
     """One backbone pass over the modality-concatenated batch (shared weights).
 
     The reference runs three sequential forward passes (make_model.py:158-160);
@@ -151,7 +151,7 @@ def _shared_backbone(params, cfg: EditorConfig, mods: List[Array],
     view_b = jnp.concatenate([view] * M, axis=0) if view is not None else None
     tokens, rollout = vit_mod.vit_apply(
         params["BACKBONE"], big, cfg.vit, camera_id=cam_b, view_id=view_b,
-        training=training, rng=rng)
+        training=training, rng=rng, tp_mesh=tp_mesh)
     toks = [tokens[i * B:(i + 1) * B] for i in range(M)]
     rolls = [rollout[i * B:(i + 1) * B] for i in range(M)]
     return toks, rolls
@@ -183,8 +183,13 @@ def editor_apply(
     view_ids: Optional[Array] = None,
     training: bool = False,
     rng: Optional[Array] = None,
+    tp_mesh=None,
 ):
     """Forward pass.
+
+    ``tp_mesh``: a ('data','model') Mesh with model>1 — the backbone's
+    fused-attention/rollout kernels then run per model-shard via shard_map
+    (params must be in the TP layout, parallel/tp.py permute_qkv_params).
 
     images: {'RGB','NI','TI'} NHWC float tensors ('TI' optional for 2-modal
     datasets — reference forward_two_modalities, make_model.py:260-360; the
@@ -204,7 +209,7 @@ def editor_apply(
         window=cfg.vit.patch_size)
 
     toks, rolls = _shared_backbone(params, cfg, mods, cam_ids, view_ids,
-                                   training, rng)
+                                   training, rng, tp_mesh)
 
     cls4tri = [t[:, 0, :] for t in toks]  # raw backbone cls tokens
 
@@ -238,7 +243,7 @@ def editor_apply(
     fused, ocfr_loss, new_ocfr = blockmask_apply(
         params["FUSE_block"], modal_feats, index, state["ocfr"], labels,
         num_heads=12, ocfr_momentum=cfg.ocfr_momentum, training=training,
-        use_pallas=cfg.use_pallas)
+        use_pallas=cfg.use_pallas, tp_mesh=tp_mesh)
 
     seg_len = cfg.num_patches + 1
     pooled = _masked_mean_pool(fused, index, seg_len, M)

@@ -24,6 +24,8 @@ import jax
 import jax.ad_checkpoint
 import jax.numpy as jnp
 
+from jax.sharding import PartitionSpec as P
+
 from editor_tpu.models.layers import (
     dropout,
     gelu,
@@ -172,7 +174,8 @@ def patch_embed(p: dict, x: Array, cfg: ViTConfig) -> Array:
 
 def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
                rng: Optional[Array],
-               need_probs: bool = True) -> Tuple[Array, Optional[Array]]:
+               need_probs: bool = True,
+               tp_mesh=None) -> Tuple[Array, Optional[Array]]:
     """Self-attention returning (out, probs or None).
 
     The reference returns the full per-layer attention maps for SFTS's
@@ -185,12 +188,47 @@ def _attention(p: dict, x: Array, cfg: ViTConfig, training: bool,
     as the reference (dropout is applied to the returned map there too).
     """
     qkv = linear(p["qkv"], x)  # [B, N, 3C] — fed to the kernel as-is
-    return _attention_core(p, qkv, cfg, training, rng, need_probs)
+    return _attention_core(p, qkv, cfg, training, rng, need_probs, tp_mesh)
+
+
+def _tp_attention(qkv: Array, cfg: ViTConfig, need_probs: bool, tp_mesh):
+    """Attention under a model-sharded mesh: the qkv activation arrives
+    Megatron-column-split over 'model' in the SHARD-major layout
+    (parallel/tp.py permute_qkv_params), so each shard runs the unchanged
+    fused kernel (XLA fallback off-TPU) on its own H/tp heads via shard_map
+    — the kernel path survives MESH_MODEL>1 instead of degrading to a
+    replicated XLA graph."""
+    from jax.experimental.shard_map import shard_map
+
+    from editor_tpu.ops.fused_attention import (attention_from_qkv,
+                                                attention_from_qkv_probs)
+
+    tp = tp_mesh.shape["model"]
+    Hl = cfg.num_heads // tp
+    bs = "data" if "data" in tp_mesh.axis_names else None
+    if need_probs:
+        fn = shard_map(
+            lambda t: attention_from_qkv_probs(t, Hl, cfg.scale),
+            mesh=tp_mesh,
+            in_specs=P(bs, None, "model"),
+            out_specs=(P(bs, None, "model"),
+                       (P(bs, "model", None, None), P(bs, "model", None))),
+            check_rep=False)
+        out, probs = fn(qkv)
+        return out, probs
+    fn = shard_map(
+        lambda t: attention_from_qkv(t, Hl, cfg.scale),
+        mesh=tp_mesh,
+        in_specs=P(bs, None, "model"),
+        out_specs=P(bs, None, "model"),
+        check_rep=False)
+    return fn(qkv), None
 
 
 def _attention_core(p: dict, qkv: Array, cfg: ViTConfig, training: bool,
                     rng: Optional[Array],
-                    need_probs: bool = True) -> Tuple[Array, Optional[Array]]:
+                    need_probs: bool = True,
+                    tp_mesh=None) -> Tuple[Array, Optional[Array]]:
     """Attention from the raw qkv projection (see _attention)."""
     B, N, C3 = qkv.shape
     C = C3 // 3
@@ -199,7 +237,12 @@ def _attention_core(p: dict, qkv: Array, cfg: ViTConfig, training: bool,
     use_fused = (jax.default_backend() == "tpu"
                  and not (training and cfg.attn_drop_rate > 0))
     probs = None
-    if use_fused:
+    if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
+        if training and cfg.attn_drop_rate > 0:
+            raise NotImplementedError(
+                "attn_drop_rate > 0 under tensor parallelism")
+        out, probs = _tp_attention(qkv, cfg, need_probs, tp_mesh)
+    elif use_fused:
         from editor_tpu.ops.fused_attention import (attention_from_qkv,
                                                     attention_from_qkv_probs)
         if need_probs:
@@ -265,6 +308,7 @@ def vit_apply(
     training: bool = False,
     rng: Optional[Array] = None,
     collect_rollout: bool = True,
+    tp_mesh=None,
 ) -> Tuple[Array, Optional[Array]]:
     """Forward pass.
 
@@ -321,7 +365,8 @@ def vit_apply(
             r1, r2, r3 = jax.random.split(lrng, 3)
         mid, probs = _attention(bp["attn"],
                                 layernorm(bp["norm1"], xs, cfg.ln_eps),
-                                cfg, training, r3, need_probs=collect_rollout)
+                                cfg, training, r3, need_probs=collect_rollout,
+                                tp_mesh=tp_mesh)
         xs = xs + _drop_path_scan(r1, mid, rate, training)
         xs = xs + _drop_path_scan(
             r2, _mlp(bp["mlp"], layernorm(bp["norm2"], xs, cfg.ln_eps),
@@ -361,7 +406,18 @@ def vit_apply(
     from editor_tpu.ops.rollout import (rollout_from_probs,
                                         rollout_from_split_probs)
     if isinstance(probs, tuple):
-        rollout_cls = rollout_from_split_probs(*probs)
+        if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
+            # heads are independent in the chain: run it per model-shard
+            from jax.experimental.shard_map import shard_map
+            bs = "data" if "data" in tp_mesh.axis_names else None
+            rollout_cls = shard_map(
+                rollout_from_split_probs, mesh=tp_mesh,
+                in_specs=(P(None, bs, "model", None, None),
+                          P(None, bs, "model", None)),
+                out_specs=P(bs, "model", None),
+                check_rep=False)(*probs)
+        else:
+            rollout_cls = rollout_from_split_probs(*probs)
     else:
         rollout_cls = rollout_from_probs(probs)
     return tokens, rollout_cls

@@ -97,18 +97,19 @@ def _qkv_masked_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill,
             kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
             lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale  # [g,N]
             lcs.append(lc + cls_bias[t])
-        mx = lcs[0]
-        for lc in lcs[1:]:
-            mx = jnp.maximum(mx, lc)
-        for lp in lps:
-            mx = jnp.maximum(mx, jnp.max(lp, axis=-1))
-        eps = [jnp.exp(lp - mx[:, :, None]) for lp in lps]
-        ecs = [jnp.exp(lc - mx) for lc in lcs]
+        # no running-max in the forward (see fused_attention
+        # _head_split_softmax_av): filled logits exp to exactly 0, valid
+        # logits stay < ~85 in fp32. Fully-masked query rows make every
+        # term underflow — the denominator epsilon keeps 0/denom = 0 for
+        # them instead of 0·inf = NaN (their rows are re-masked to 0 by
+        # ``rw = mq/denom`` anyway).
+        eps = [jnp.exp(lp) for lp in lps]
+        ecs = [jnp.exp(lc) for lc in lcs]
         denom = ecs[0] + sum(ecs[1:])
         for ep in eps:
             denom = denom + jnp.sum(ep, axis=-1)
         # fold the post-softmax query-row re-mask into the normalization
-        rw = mq / denom                                   # [g, N]
+        rw = mq / (denom + 1e-30)                         # [g, N]
         acc = None
         for t in range(n_tiles):
             pp = (eps[t] * rw[:, :, None]).astype(v.dtype)
@@ -133,7 +134,9 @@ def _pallas_masked_from_qkv(qkv: Array, mask: Array, num_heads: int,
     H, D = num_heads, C // num_heads
     n_tiles = N // tile
     # scoped VMEM is 16MB on v5e: the [g, N, 3C] block + fp32 logits pieces
-    # cap the rows per grid step (N=129 fits g=4; N=387 needs g=1)
+    # cap the rows per grid step (N=129 fits g=4 — g=8 is ~5% faster
+    # standalone but exceeds scoped vmem by 0.9MB inside the full eval
+    # graph; N=387 needs g=1)
     g = group or (4 if N <= 192 else 1)
     while B % g:
         g //= 2
@@ -306,13 +309,31 @@ _masked_qkv_tpu.defvjp(_fwd, _bwd)
 def masked_attention_from_qkv(qkv: Array, mask: Array, num_heads: int,
                               scale: float, mask_fill: float = -65504.0,
                               tile: int = 129,
-                              use_pallas: bool = True) -> Array:
+                              use_pallas: bool = True,
+                              tp_mesh=None) -> Array:
     """Masked attention from the raw QKV projection.
 
     qkv: [B, N, 3C] (the natural ``x @ W_qkv`` output); mask: [B, N]
     (1 = keep); N must be ``n_tiles * tile`` with ``tile = 1 + P`` tokens
     per modality tile. Returns [B, N, C].
+
+    ``tp_mesh``: under a model-sharded mesh the fusion weights are
+    replicated, so the kernel runs per data-shard via shard_map (explicitly
+    replicated over 'model') instead of leaving GSPMD to partition a
+    pallas_call it cannot reason about.
     """
+    if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        bs = "data" if "data" in tp_mesh.axis_names else None
+        return shard_map(
+            lambda t, m: masked_attention_from_qkv(
+                t, m, num_heads, scale, mask_fill, tile, use_pallas),
+            mesh=tp_mesh,
+            in_specs=(P(bs, None, None), P(bs, None)),
+            out_specs=P(bs, None, None),
+            check_rep=False)(qkv, mask)
     B, N, C3 = qkv.shape
     on_tpu = jax.default_backend() == "tpu"
     tileable = tile and N % tile == 0 and (tile - 1) % 128 == 0

@@ -5,11 +5,17 @@ closest artifact is the chunk-sharded ShardedTensor prototype,
 distributed/_sharded_tensor/api.py:177). The TPU-native expression needs no
 new runtime: Megatron-style column/row splits are just NamedShardings on
 the existing mesh — qkv/fc1 weights column-split over 'model', proj/fc2
-row-split — and XLA/GSPMD derives the all-reduce points. Works with the
-XLA attention path (CPU tests and the multi-chip dry run); the Pallas
-kernels are data-parallel-only, so TP meshes run the backbone's XLA path
-(vit._attention falls back automatically off-TPU; on TPU a shard_map
-wrapping is the extension point).
+row-split — and XLA/GSPMD derives the all-reduce points.
+
+Fused-kernel TP: the flat qkv output dim is laid out [q_h0..q_hH | k_… |
+v_…], so a contiguous GSPMD split would hand shard 0 "all of q plus half
+of k" — useless to a kernel. :func:`permute_qkv_params` reorders the qkv
+columns SHARD-major ([q,k,v for heads 0..H/t-1 | q,k,v for the next block |
+…]) so each contiguous model-shard is a self-contained qkv block for its
+own heads; the backbone then runs the UNCHANGED Pallas attention kernel per
+shard under ``shard_map`` with H/t local heads (models/vit.py). The
+attention output keeps global head-major order, so the row-split proj needs
+no permutation, and non-attention layers stay pure GSPMD.
 """
 
 from __future__ import annotations
@@ -17,7 +23,52 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def qkv_tp_permutation(num_heads: int, head_dim: int, tp: int) -> np.ndarray:
+    """Column permutation π with new_w[:, j] = w[:, π[j]]: flat
+    [q_h*|k_h*|v_h*] → tp contiguous blocks, each [q|k|v] over H/tp heads."""
+    H, D = num_heads, head_dim
+    C = H * D
+    if H % tp:
+        raise ValueError(f"num_heads {H} not divisible by tp {tp}")
+    hl = H // tp
+    idx = []
+    for s in range(tp):
+        for part in range(3):  # q, k, v regions of the flat layout
+            for h in range(s * hl, (s + 1) * hl):
+                idx.extend(range(part * C + h * D, part * C + (h + 1) * D))
+    return np.asarray(idx, dtype=np.int64)
+
+
+def permute_qkv_params(params: Any, num_heads: int, tp: int,
+                       inverse: bool = False) -> Any:
+    """Reorder every backbone block's fused qkv weight columns (and bias)
+    into the shard-major TP layout (or back, ``inverse=True`` — used when
+    exporting a TP-trained state to the canonical layout)."""
+    if tp <= 1:
+        return params
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    bb = dict(out["BACKBONE"])
+    blocks = dict(bb["blocks"])
+    attn = dict(blocks["attn"])
+    qkv = dict(attn["qkv"])
+    D = qkv["w"].shape[-1] // (3 * num_heads)
+    perm = qkv_tp_permutation(num_heads, D, tp)
+    if inverse:
+        perm = np.argsort(perm)
+    qkv["w"] = qkv["w"][..., perm]
+    if "b" in qkv:
+        qkv["b"] = qkv["b"][..., perm]
+    attn["qkv"] = qkv
+    blocks["attn"] = attn
+    bb["blocks"] = blocks
+    out = dict(out)
+    out["BACKBONE"] = bb
+    return out
 
 
 def editor_tp_shardings(params: Any, mesh: Mesh, axis: str = "model") -> Any:

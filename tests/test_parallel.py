@@ -289,7 +289,7 @@ def test_tensor_parallel_step_matches_replicated():
     from editor_tpu.models import EditorConfig, ViTConfig
     from editor_tpu.models.editor import editor_init
     from editor_tpu.parallel import make_mesh, shard_batch
-    from editor_tpu.parallel.tp import (editor_tp_shardings,
+    from editor_tpu.parallel.tp import (permute_qkv_params,
                                         train_state_tp_shardings)
     from editor_tpu.solver import make_optimizer, make_scheduler
 
@@ -313,14 +313,20 @@ def test_tensor_parallel_step_matches_replicated():
         "camid": jnp.zeros((8,), jnp.int32),
     }
 
-    mesh2d = make_mesh(data=4, model=2)
+    import dataclasses
+
+    mesh_dp = make_mesh(data=8, model=1)
     s_ref = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
     step_ref = build_train_step(ecfg, opt, loss_func, lr_fn, 0.01,
-                                compute_dtype=jnp.float32, mesh=mesh2d,
+                                compute_dtype=jnp.float32, mesh=mesh_dp,
                                 donate=False)
-    s_ref, m_ref = step_ref(s_ref, shard_batch(mesh2d, batch), jnp.asarray(1))
+    s_ref, m_ref = step_ref(s_ref, shard_batch(mesh_dp, batch), jnp.asarray(1))
 
+    mesh2d = make_mesh(data=4, model=2)
     s_tp = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    # TP contract: shard-major qkv columns, attention per-shard via shard_map
+    s_tp = dataclasses.replace(
+        s_tp, params=permute_qkv_params(s_tp.params, vit.num_heads, 2))
     shardings = train_state_tp_shardings(s_tp, mesh2d)
     s_tp = jax.tree_util.tree_map(jax.device_put, s_tp, shardings)
     # the qkv weight really is split over the model axis
@@ -334,6 +340,11 @@ def test_tensor_parallel_step_matches_replicated():
 
     np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
                                rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
-                    jax.tree_util.tree_leaves(s_tp.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # un-permute the TP params back to the canonical layout for comparison
+    tp_params = permute_qkv_params(jax.device_get(s_tp.params),
+                                   vit.num_heads, 2, inverse=True)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            jax.tree_util.tree_leaves_with_path(tp_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(kp))

@@ -93,7 +93,8 @@ def main():
                   flush=True)
 
     # ---- tail: joint masked attention (N=387) group sweep ----------------
-    from editor_tpu.ops import masked_attention as MA
+    import importlib
+    MA = importlib.import_module('editor_tpu.ops.masked_attention')
     B2, N2 = 128, 387
     qkv2 = jnp.asarray(rng.randn(B2, N2, 3 * C), jnp.bfloat16)
     mask = jnp.asarray(rng.rand(B2, 129) > 0.5, jnp.float32)
