@@ -33,6 +33,17 @@ from editor_tpu.utils.meter import AverageMeter
 _EVAL_STEP_CACHE: dict = {}
 
 
+def _ckpt_state(state, ecfg, tp: int):
+    """Host copy of the train state in the CANONICAL qkv layout — TP runs
+    un-permute before writing so checkpoints are layout-portable."""
+    host = jax.device_get(state)
+    if tp > 1:
+        from editor_tpu.parallel.tp import permute_train_state
+        host = permute_train_state(host, ecfg.vit.num_heads, tp,
+                                   inverse=True)
+    return host
+
+
 def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
              mesh=None, compute_dtype=jnp.bfloat16):
     """Feature-extraction eval pass → (cmc, mAP)."""
@@ -101,16 +112,15 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
         params["BACKBONE"] = load_imagenet_vit(
             cfg.MODEL.PRETRAIN_PATH_T, ecfg.vit, params["BACKBONE"])
         logger.info("Loaded ImageNet backbone from %s", cfg.MODEL.PRETRAIN_PATH_T)
-    if mesh is not None and mesh.shape.get("model", 1) > 1:
+    tp = mesh.shape.get("model", 1) if mesh is not None else 1
+    if tp > 1:
         # shard-major qkv column layout so each Megatron shard is a
         # self-contained [q|k|v] block for its own heads (parallel/tp.py) —
         # the fused attention kernels then run per-shard via shard_map.
-        # NOTE: checkpoints written by this run keep the TP layout; resume
-        # with the same MESH_MODEL (or convert with permute_qkv_params
-        # inverse=True).
+        # Checkpoints are still written in the CANONICAL layout (see
+        # _ckpt_state below), so they load into non-TP runs and any tp.
         from editor_tpu.parallel.tp import permute_qkv_params
-        params = permute_qkv_params(params, ecfg.vit.num_heads,
-                                    mesh.shape["model"])
+        params = permute_qkv_params(params, ecfg.vit.num_heads, tp)
     opt = make_optimizer(cfg, params)
     state = make_train_state(key, ecfg, opt)
     state = TrainState(params=params, opt_state=opt.init(params),
@@ -168,11 +178,15 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
         # engine/processor.py:120-127, this resumes exactly)
         latest = ckpt_mgr.latest_step()
         if latest is not None:
+            from editor_tpu.parallel.tp import permute_train_state
             restored = ckpt_mgr.restore(
-                latest, template={"state": jax.device_get(state), "epoch": 0})
+                latest, template={"state": _ckpt_state(state, ecfg, tp),
+                                  "epoch": 0})
             state = jax.tree_util.tree_map(jnp.asarray, restored["state"])
             if not isinstance(state, TrainState):
                 state = TrainState(**state) if isinstance(state, dict) else state
+            # checkpoints are canonical-layout; re-enter the TP layout
+            state = permute_train_state(state, ecfg.vit.num_heads, tp)
             start_epoch = int(restored["epoch"]) + 1
             logger.info("Resumed from checkpoint step %d (epoch %d)",
                         latest, start_epoch - 1)
@@ -213,7 +227,8 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
 
         if ckpt_mgr and epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             ckpt_mgr.save(int(state.step),
-                          {"state": jax.device_get(state), "epoch": epoch})
+                          {"state": _ckpt_state(state, ecfg, tp),
+                           "epoch": epoch})
 
         if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and dm.num_query > 0:
             cmc, mAP = evaluate(cfg, ecfg, state, dm, mesh, compute_dtype)
@@ -229,7 +244,7 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                         "Rank-10": float(cmc[9]) if len(cmc) > 9 else 0.0}
                 if ckpt_mgr:
                     ckpt_mgr.save(int(state.step),
-                                  {"state": jax.device_get(state),
+                                  {"state": _ckpt_state(state, ecfg, tp),
                                    "epoch": epoch}, force=True)
             logger.info("Best mAP so far: %.2f%%", best["mAP"] * 100)
 

@@ -71,6 +71,28 @@ def permute_qkv_params(params: Any, num_heads: int, tp: int,
     return out
 
 
+def permute_train_state(state: Any, num_heads: int, tp: int,
+                        inverse: bool = False) -> Any:
+    """Apply the qkv TP column permutation to a TrainState's params AND the
+    params-shaped optimizer buffers (SGD momentum / AdamW mu+nu) so
+    checkpoints can be written in the CANONICAL layout (``inverse=True``
+    before save) and re-entered into a TP run (forward after restore) —
+    TP-trained checkpoints then load into non-TP / different-tp runs."""
+    import dataclasses as _dc
+
+    from editor_tpu.solver.optimizer import AdamWState, SGDState
+
+    if tp <= 1:
+        return state
+    perm = lambda t: permute_qkv_params(t, num_heads, tp, inverse)
+    opt = state.opt_state
+    if isinstance(opt, SGDState):
+        opt = SGDState(momentum=perm(opt.momentum))
+    elif isinstance(opt, AdamWState):
+        opt = AdamWState(mu=perm(opt.mu), nu=perm(opt.nu), count=opt.count)
+    return _dc.replace(state, params=perm(state.params), opt_state=opt)
+
+
 def editor_tp_shardings(params: Any, mesh: Mesh, axis: str = "model") -> Any:
     """NamedSharding pytree for EDITOR params: backbone attention/MLP
     weights Megatron-split over ``axis``, everything else replicated.

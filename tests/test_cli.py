@@ -133,11 +133,35 @@ def test_cli_train_tp_mesh(tiny_root, tmp_path):
         "TPU.COMPUTE_DTYPE", "float32",
         "TPU.MESH_DATA", "4",
         "TPU.MESH_MODEL", "2",
+        "SOLVER.CHECKPOINT_PERIOD", "1",
         "OUTPUT_DIR", out,
     ])
     assert result["state"] is not None
     log = open(os.path.join(out, "train_log.txt")).read()
     assert "Megatron-split" in log
+
+    # checkpoints are CANONICAL-layout: forward-permuting the saved qkv
+    # must reproduce the live (TP-layout) qkv, so the file loads into
+    # non-TP runs and any tp factor
+    import jax
+    import numpy as np
+    from editor_tpu.parallel.tp import permute_qkv_params
+    from editor_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(os.path.join(out, "ckpt"))
+    step = mgr.latest_step()
+    assert step is not None
+    live = jax.device_get(result["state"])
+    saved = mgr.restore(step, template={"state": live, "epoch": 0})["state"]
+    saved_p = saved.params if hasattr(saved, "params") else saved["params"]
+    heads = result["ecfg"].vit.num_heads
+    re_tp = permute_qkv_params(saved_p, heads, 2)
+    a = np.asarray(
+        re_tp["BACKBONE"]["blocks"]["attn"]["qkv"]["w"])
+    b = np.asarray(live.params["BACKBONE"]["blocks"]["attn"]["qkv"]["w"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # and the raw saved layout really differs from the live TP layout
+    raw = np.asarray(saved_p["BACKBONE"]["blocks"]["attn"]["qkv"]["w"])
+    assert not np.allclose(raw, b)
 
 
 @pytest.fixture(scope="module")

@@ -356,3 +356,115 @@ def test_param_count_matches_reference(golden):
     from editor_tpu.models.editor import count_params
     ours_n = count_params(golden["params"])
     assert ours_n == ref_n, (ours_n, ref_n)
+
+
+@pytest.mark.slow
+def test_al_setting_matches_reference(tmp_path):
+    """AL supervision setting (reference make_model.py:165-167,210-211):
+    train outputs (score, cls4t, ori_score, ori, aux) and the eval features
+    match the actual torch reference at reduced depth — covers AL_BN/AL_HEAD
+    routing, which the main golden fixture (AL=False/BL) does not."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from tests.reference_compat import load_reference_modeling
+        torch_mods = load_reference_modeling()
+        import torch
+        from functools import partial
+
+        import modeling.backbones.vit_pytorch as vp
+
+        class RefCfgAL(RefCfg):
+            class MODEL(RefCfg.MODEL):
+                AL = 1
+
+        depth = 2
+        torch.manual_seed(1)
+
+        def tiny(img_size=(256, 128), stride_size=16, drop_rate=0.0,
+                 attn_drop_rate=0.0, drop_path_rate=0.1, camera=0, view=0,
+                 local_feature=False, sie_xishu=1.5, **kw):
+            return vp.Trans(
+                img_size=img_size, patch_size=16, stride_size=stride_size,
+                embed_dim=768, depth=depth, num_heads=12, mlp_ratio=4,
+                qkv_bias=True, camera=camera, view=view,
+                drop_path_rate=drop_path_rate, drop_rate=drop_rate,
+                attn_drop_rate=attn_drop_rate,
+                norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+                sie_xishu=sie_xishu, local_feature=local_feature, **kw)
+
+        ref = torch_mods.EDITOR(NUM_CLASSES, RefCfgAL, CAMS,
+                                {"vit_base_patch16_224": tiny}).double()
+        with torch.no_grad():
+            ref.FUSE_block.out_norm.weight.normal_(1.0, 0.2)
+            ref.FUSE_block.out_norm.bias.normal_(0.0, 0.2)
+        path = str(tmp_path / "al_ref.pth")
+        torch.save(ref.state_dict(), path)
+
+        from editor_tpu.models import (EditorConfig, ViTConfig, editor_apply,
+                                       editor_init)
+        from editor_tpu.utils.torch_convert import convert_editor_from_torch
+
+        vit_cfg = ViTConfig(img_size=(H, W), patch_size=16,
+                            stride_size=(16, 16), embed_dim=768, depth=depth,
+                            num_heads=12, mlp_ratio=4.0, qkv_bias=True,
+                            camera=CAMS, sie_xishu=3.0, drop_path_rate=0.0,
+                            num_fc_classes=NUM_CLASSES)
+        ecfg = EditorConfig(num_classes=NUM_CLASSES, vit=vit_cfg, head_keep=2,
+                            frequency_keep=3, al=True, use_pallas=False)
+        params, state = editor_init(jax.random.PRNGKey(0), ecfg)
+        params, state = convert_editor_from_torch(path, ecfg, params, state)
+        as_f64 = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        params, state = as_f64(params), as_f64(state)
+
+        rng = np.random.RandomState(2)
+        gh, gw = H // 16, W // 16
+        counts = rng.permutation(gh * gw) * 7 + 3
+        sign = np.empty((B, H, W, 1), np.float32)
+        for b in range(B):
+            for wdx in range(gh * gw):
+                cell = -np.ones(256, np.float32)
+                cell[rng.choice(256, counts[wdx], replace=False)] = 1.0
+                r, c = divmod(wdx, gw)
+                sign[b, r * 16:(r + 1) * 16, c * 16:(c + 1) * 16, 0] = \
+                    cell.reshape(16, 16)
+        imgs_np = {m: sign * (0.5 + np.abs(rng.randn(B, H, W, 3)
+                                           ).astype(np.float32))
+                   for m in ("RGB", "NI", "TI")}
+        cam_np = (np.arange(B) % CAMS).astype(np.int64)
+        label_np = np.repeat(np.arange(P), K).astype(np.int64)
+        t_imgs = {m: torch.from_numpy(
+            v.transpose(0, 3, 1, 2).astype(np.float64)).contiguous()
+            for m, v in imgs_np.items()}
+        j_imgs = {m: jnp.asarray(v, jnp.float64) for m, v in imgs_np.items()}
+
+        ref.train()
+        with torch.no_grad():
+            out = ref(t_imgs, cam_label=torch.from_numpy(cam_np),
+                      label=torch.from_numpy(label_np), mode=1,
+                      writer=DummyWriter(), epoch=1)
+        assert len(out) == 5  # (score, cls4t, ori_score, ori, aux)
+
+        ours, _ = editor_apply(params, state, ecfg, j_imgs,
+                               labels=jnp.asarray(label_np),
+                               cam_ids=jnp.asarray(cam_np), training=True,
+                               rng=jax.random.PRNGKey(0))
+        assert len(ours.pairs) == 2  # fused + AL pair
+        for (os_, of_), (rs_, rf_) in zip(
+                ours.pairs, [(out[0], out[1]), (out[2], out[3])]):
+            assert _rel_err(os_, rs_.numpy()) < 2e-4
+            assert _rel_err(of_, rf_.numpy()) < 2e-4
+        assert abs(float(ours.aux_loss) - float(out[4])) < \
+            1e-5 * max(1.0, abs(float(out[4])))
+
+        ref.eval()
+        with torch.no_grad():
+            feat = ref(t_imgs, cam_label=torch.from_numpy(cam_np),
+                       mode=1).numpy()
+        ours_eval, _ = editor_apply(params, state, ecfg, j_imgs,
+                                    cam_ids=jnp.asarray(cam_np),
+                                    training=False)
+        assert _rel_err(ours_eval, feat) < 1e-4
+    finally:
+        jax.config.update("jax_enable_x64", False)
