@@ -86,6 +86,10 @@ class DataloaderConfig:
     NUM_WORKERS: int = 4
     SAMPLER: str = "softmax_triplet"
     NUM_INSTANCE: int = 16
+    # native (C++/libjpeg, OpenMP) batch decode+resize fast path — PIL is
+    # the parity default (the reference decodes via PIL); the native codec
+    # matches PIL bicubic within ~3 u8 LSB (tests/test_native.py)
+    NATIVE_DECODE: bool = False
 
 
 @dataclass

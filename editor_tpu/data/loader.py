@@ -70,6 +70,32 @@ def decode_item(paths, size_hw: Tuple[int, int], wide_jpeg: bool,
     return out
 
 
+def decode_batch_native(items, size_hw: Tuple[int, int], wide_jpeg: bool,
+                        num_modalities: int) -> List[List[np.ndarray]]:
+    """One native call decodes + bicubic-resizes the whole batch in
+    parallel (editor_tpu/native/imagecodec.cpp — the C++ hot loop the
+    reference reaches through DataLoader worker processes). Raises
+    RuntimeError when the native library is unavailable (caller falls back
+    to the PIL thread pool)."""
+    from editor_tpu.native import decode_resize_batch
+    h, w = size_hw
+    n = len(items)
+    if wide_jpeg:
+        paths = [it[0] for it in items for _ in range(num_modalities)]
+        crops = [t * WIDE_TILE_W for _ in items for t in range(num_modalities)]
+        arr = decode_resize_batch(paths, (h, w), crop_x0=crops,
+                                  crop_w=WIDE_TILE_W, crop_h=WIDE_TILE_H)
+    else:
+        paths = [p for it in items for p in it[0][:num_modalities]]
+        arr = decode_resize_batch(paths, (h, w))
+    arr = arr.reshape(n, num_modalities, h, w, 3)
+    out = [[arr[i, m] for m in range(num_modalities)] for i in range(n)]
+    for mods in out:
+        while len(mods) < 3:  # 2-modal: duplicate NI as TI
+            mods.append(mods[-1])
+    return out
+
+
 class BatchLoader:
     """Assembles index lists into device-ready uint8 batches with prefetch."""
 
@@ -77,7 +103,8 @@ class BatchLoader:
                  wide_jpeg: bool, num_modalities: int,
                  has_sceneid: bool = False, num_workers: int = 8,
                  prefetch: int = 2,
-                 decode_fn: Optional[Callable] = None):
+                 decode_fn: Optional[Callable] = None,
+                 native_decode: bool = False):
         self.items = splits_items
         self.size_hw = size_hw
         self.wide_jpeg = wide_jpeg
@@ -89,10 +116,22 @@ class BatchLoader:
         self.prefetch = prefetch
         self.decode_fn = decode_fn or (lambda item: decode_item(
             item[0], self.size_hw, self.wide_jpeg, self.num_modalities))
+        # native batch decode only applies to the default path (a custom
+        # decode_fn — synthetic tests — must keep per-item semantics)
+        self.native_decode = native_decode and decode_fn is None
 
     def _assemble(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         items = [self.items[i] for i in idxs]
-        decoded = list(self.pool.map(self.decode_fn, items))
+        decoded = None
+        if self.native_decode:
+            try:
+                decoded = decode_batch_native(
+                    items, self.size_hw, self.wide_jpeg,
+                    self.num_modalities)
+            except RuntimeError:
+                self.native_decode = False  # no toolchain/libjpeg: stop trying
+        if decoded is None:
+            decoded = list(self.pool.map(self.decode_fn, items))
         batch: Dict[str, np.ndarray] = {}
         for m, key in enumerate(MODALITY_KEYS):
             batch[key] = np.stack([d[m] for d in decoded]).astype(np.uint8)
@@ -147,13 +186,15 @@ class ReIDDataModule:
         size_train = tuple(cfg.INPUT.SIZE_TRAIN)
         size_test = tuple(cfg.INPUT.SIZE_TEST)
         nw = cfg.DATALOADER.NUM_WORKERS
+        native = bool(getattr(cfg.DATALOADER, "NATIVE_DECODE", False))
         self.train_loader = BatchLoader(
             s.train, size_train, s.wide_jpeg, s.num_modalities,
-            num_workers=nw, decode_fn=decode_fn)
+            num_workers=nw, decode_fn=decode_fn, native_decode=native)
         self.val_items = list(s.query) + list(s.gallery)
         self.val_loader = BatchLoader(
             self.val_items, size_test, s.wide_jpeg, s.num_modalities,
-            has_sceneid=s.has_sceneid, num_workers=nw, decode_fn=decode_fn)
+            has_sceneid=s.has_sceneid, num_workers=nw, decode_fn=decode_fn,
+            native_decode=native)
         if cfg.DATALOADER.SAMPLER in ("softmax_triplet", "triplet"):
             self.sampler = PKSampler(s.train, cfg.SOLVER.IMS_PER_BATCH,
                                      cfg.DATALOADER.NUM_INSTANCE,

@@ -40,6 +40,13 @@ def topk_bool_mask(scores: Array, k: int) -> Array:
 def window_positive_counts(img: Array, window: int, stride: int) -> Array:
     """[B, H, W] → [B, H//stride, W//stride] count of >0 pixels per window."""
     pos = (img > 0).astype(jnp.int32)
+    B, H, W = pos.shape
+    if stride == window and H % window == 0 and W % window == 0:
+        # non-overlapping windows: a reshape + two axis sums lowers to plain
+        # VPU reductions (reduce_window goes through a windowed-reduce
+        # lowering that is several × slower for this pattern on TPU)
+        gh, gw = H // window, W // window
+        return jnp.sum(pos.reshape(B, gh, window, gw, window), axis=(2, 4))
     return jax.lax.reduce_window(
         pos, 0, jax.lax.add,
         window_dimensions=(1, window, window),

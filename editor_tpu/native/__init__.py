@@ -91,3 +91,69 @@ def rerank_auto(prob_feat, gal_feat, k1=20, k2=6, lambda_value=0.3):
     except RuntimeError:
         from editor_tpu.evals.reranking import k_reciprocal_rerank
         return k_reciprocal_rerank(prob_feat, gal_feat, k1, k2, lambda_value)
+
+
+# ---------------------------------------------------------------------------
+# native batch JPEG decode + bicubic resize (imagecodec.cpp)
+# ---------------------------------------------------------------------------
+
+_CODEC_SRC = os.path.join(_HERE, "imagecodec.cpp")
+_CODEC_LIB: Optional[ctypes.CDLL] = None
+_CODEC_FAILED = False
+
+
+def load_imagecodec() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the JPEG codec library; None if unavailable
+    (no g++ / no libjpeg dev headers)."""
+    global _CODEC_LIB, _CODEC_FAILED
+    with _LOCK:
+        if _CODEC_LIB is not None or _CODEC_FAILED:
+            return _CODEC_LIB
+        so = os.path.join(_build_dir(), "libeditor_tpu_imagecodec.so")
+        try:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(_CODEC_SRC)):
+                cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                       "-fPIC", "-fopenmp", _CODEC_SRC, "-ljpeg", "-o", so]
+                subprocess.run(cmd, check=True, capture_output=True)
+            lib = ctypes.CDLL(so)
+            fn = lib.editor_tpu_decode_resize_batch
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ]
+            fn.restype = ctypes.c_int32
+            _CODEC_LIB = lib
+        except (subprocess.CalledProcessError, OSError):
+            _CODEC_FAILED = True
+            _CODEC_LIB = None
+        return _CODEC_LIB
+
+
+def decode_resize_batch(paths, out_hw, crop_x0=None, crop_w: int = 0,
+                        crop_h: int = 0) -> np.ndarray:
+    """Decode ``paths`` (JPEGs) and bicubic-resize to ``out_hw`` = (H, W)
+    in parallel (OpenMP). ``crop_w > 0`` crops [crop_x0[i], +crop_w) x
+    [0, crop_h) first (the wide-JPEG modality tiling, reference
+    bases.py:21-26). Returns u8 [n, H, W, 3]. RuntimeError if the native
+    library is unavailable or any decode fails (callers fall back to PIL).
+    """
+    lib = load_imagecodec()
+    if lib is None:
+        raise RuntimeError("native imagecodec unavailable")
+    h, w = out_hw
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    if crop_x0 is not None:
+        cx = np.ascontiguousarray(np.asarray(crop_x0, np.int32))
+        cx_ptr = cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        cx_ptr = None
+    failures = lib.editor_tpu_decode_resize_batch(
+        arr, n, cx_ptr, int(crop_w), int(crop_h), h, w, out)
+    if failures:
+        raise RuntimeError(f"{failures}/{n} decodes failed")
+    return out
