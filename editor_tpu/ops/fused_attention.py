@@ -196,7 +196,8 @@ def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, H, D):
 
 
 def _pallas_attention_qkv_bwd(qkv: Array, g_out: Array, num_heads: int,
-                              scale: float, group: int = 2) -> Array:
+                              scale: float, group: int = 4) -> Array:
+    # group=4 measured 4.87 vs 5.75 ms at g=2 for the flagship batch
     import jax.experimental.pallas as pl
 
     B, N, C3 = qkv.shape

@@ -261,7 +261,8 @@ def _pallas_masked_qkv_bwd(qkv: Array, mask: Array, g_out: Array,
     C = C3 // 3
     H, D = num_heads, C // num_heads
     n_tiles = N // tile
-    g = group or (2 if N <= 192 else 1)
+    # g=4 measured 6.18 vs 7.36 ms at g=2 (3x128 modal batch)
+    g = group or (4 if N <= 192 else 1)
     while B % g:
         g //= 2
     kernel = functools.partial(
