@@ -147,6 +147,7 @@ class TPUConfig:
     REMAT: bool = False  # jax.checkpoint the backbone blocks
     # 'block' (fastest measured) | 'dots' | 'names' | 'attn_out'
     REMAT_POLICY: str = "block"
+    REMAT_SKIP_LAST: int = 0  # last k backbone layers skip remat (HBM for speed)
     ASYNC_CHECKPOINT: bool = True
     GRAD_COMPRESSION: str = "none"  # 'none' | 'fp16' | 'bf16' | 'powersgd'
     POWERSGD_RANK: int = 4

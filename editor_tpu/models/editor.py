@@ -80,6 +80,7 @@ def editor_config_from(cfg: Any, num_classes: int, camera_num: int) -> EditorCon
         attn_drop_rate=cfg.MODEL.ATT_DROP_RATE,
         remat=bool(getattr(cfg.TPU, "REMAT", False)),
         remat_policy=str(getattr(cfg.TPU, "REMAT_POLICY", "block")),
+        remat_skip_last=int(getattr(cfg.TPU, "REMAT_SKIP_LAST", 0)),
     )
     return EditorConfig(
         num_classes=num_classes,

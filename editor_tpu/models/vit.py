@@ -67,6 +67,10 @@ class ViTConfig:
     # 'dots' saves every matmul output; 'names' saves exactly the qkv
     # projection, attention output, and fc1 pre-GELU.
     remat_policy: str = "block"
+    # keep the LAST k layers un-remat'd: each costs ~2.8 GB of saved
+    # activations at the flagship batch but skips that layer's backward
+    # recompute — spend whatever HBM block-remat leaves free
+    remat_skip_last: int = 0
 
     @property
     def num_y(self) -> int:
@@ -392,8 +396,28 @@ def vit_apply(
             scan_body = jax.checkpoint(body)
     else:
         scan_body = body
-    tokens, probs = jax.lax.scan(
-        scan_body, tokens, (params["blocks"], dpr, layer_rngs))
+    k = cfg.remat_skip_last if (cfg.remat and cfg.remat_skip_last > 0
+                                and cfg.remat_skip_last < cfg.depth) else 0
+    if k:
+        # remat'd scan over the first depth-k layers, plain scan over the
+        # last k (their activations stay resident; no backward recompute)
+        take = lambda tree, sl: jax.tree_util.tree_map(lambda x: x[sl], tree)
+        first = (take(params["blocks"], slice(None, -k)), dpr[:-k],
+                 layer_rngs[:-k])
+        last = (take(params["blocks"], slice(-k, None)), dpr[-k:],
+                layer_rngs[-k:])
+        tokens, probs_a = jax.lax.scan(scan_body, tokens, first)
+        tokens, probs_b = jax.lax.scan(body, tokens, last)
+        if probs_a is None:
+            probs = None
+        elif isinstance(probs_a, tuple):
+            probs = tuple(jnp.concatenate([a, b], axis=0)
+                          for a, b in zip(probs_a, probs_b))
+        else:
+            probs = jnp.concatenate([probs_a, probs_b], axis=0)
+    else:
+        tokens, probs = jax.lax.scan(
+            scan_body, tokens, (params["blocks"], dpr, layer_rngs))
     tokens = layernorm(params["norm"], tokens, cfg.ln_eps)
     if not collect_rollout:
         return tokens, None

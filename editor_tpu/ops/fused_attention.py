@@ -20,8 +20,9 @@ N=129 tokens is far below flash-attention territory: the whole per-head
     *before* the dot forces multi-pass fp32 MXU emulation, several times
     slower for identical results: bf16·bf16 products are exact in fp32.)
 
-Backward: recompute via the XLA graph under ``jax.custom_vjp`` (same math,
-fp32 softmax — gradients don't need the kernel's speed).
+Backward: a Pallas kernel in the same qkv layout (``_qkv_bwd_kernel``)
+recomputes the split softmax in VMEM and applies the softmax VJP — the XLA
+graph recompute remains the off-TPU fallback under ``jax.custom_vjp``.
 """
 
 from __future__ import annotations
@@ -150,9 +151,10 @@ def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, H, D):
             preferred_element_type=jnp.float32) * scale        # [g, N, P]
         lc = jnp.sum(q.astype(jnp.float32) * k[:, 0:1, :].astype(jnp.float32),
                      axis=-1) * scale                          # [g, N]
-        m = jnp.maximum(jnp.max(lp, axis=-1), lc)
-        ep = jnp.exp(lp - m[:, :, None])
-        ec = jnp.exp(lc - m)
+        # raw-exp softmax, same rationale as the forward kernel (see
+        # _head_split_softmax_av) — saves two VPU sweeps per head
+        ep = jnp.exp(lp)
+        ec = jnp.exp(lc)
         inv = 1.0 / (jnp.sum(ep, axis=-1) + ec)
         pp = ep * inv[:, :, None]                              # [g, N, P]
         pc = ec * inv                                          # [g, N]

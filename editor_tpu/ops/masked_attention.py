@@ -19,9 +19,9 @@ Layout design (same discipline as ops/fused_attention.py):
   * Dots take bf16 operands with fp32 accumulation (casting operands to
     fp32 first would force slow multi-pass fp32 MXU emulation).
 
-An XLA fallback (identical numerics) covers CPU tests and the backward pass
-(``jax.custom_vjp`` residual recompute — forward-only inference uses the
-kernel).
+An XLA fallback (identical numerics) covers CPU tests; the TPU backward is
+its own Pallas kernel (``_qkv_masked_bwd_kernel``, recompute + softmax VJP
+in VMEM) with the XLA recompute as the off-TPU ``jax.custom_vjp`` path.
 """
 
 from __future__ import annotations
@@ -189,21 +189,18 @@ def _qkv_masked_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale, H, D,
             kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
             lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale
             lcs.append(lc + cls_bias[t])
-        mx = lcs[0]
-        for lc in lcs[1:]:
-            mx = jnp.maximum(mx, lc)
-        for lp in lps:
-            mx = jnp.maximum(mx, jnp.max(lp, axis=-1))
-        eps = [jnp.exp(lp - mx[:, :, None]) for lp in lps]
-        ecs = [jnp.exp(lc - mx) for lc in lcs]
+        # raw-exp softmax with the same fully-masked-row guard as the
+        # forward kernel (filled logits exp to exactly 0)
+        eps = [jnp.exp(lp) for lp in lps]
+        ecs = [jnp.exp(lc) for lc in lcs]
         denom = ecs[0] + sum(ecs[1:])
         for ep in eps:
             denom = denom + jnp.sum(ep, axis=-1)
-        inv = 1.0 / denom          # pure softmax normalizer
+        inv = 1.0 / (denom + 1e-30)  # pure softmax normalizer
         rw = mq * inv              # row re-mask folded in (= attn rows)
         # --- dattn pieces + pure-softmax row correction r0 ---
         ghf = gh.astype(jnp.float32)
-        r0 = jnp.zeros_like(mx)
+        r0 = jnp.zeros_like(inv)
         datps, datcs = [], []
         for t in range(n_tiles):
             vp = v[:, t * tile + 1:(t + 1) * tile, :]
