@@ -97,6 +97,8 @@ def editor_config_from(cfg: Any, num_classes: int, camera_num: int) -> EditorCon
 
 def editor_init(key: Array, cfg: EditorConfig) -> Tuple[dict, dict]:
     d = cfg.dim
+    M = cfg.num_modalities  # fused-head width (3 for all reference configs —
+    # 2-modal datasets dup NI as TI at collate; true-2-modal sizes M*d)
     ks = jax.random.split(key, 8)
     params: Dict[str, Any] = {
         "BACKBONE": vit_mod.vit_init(ks[0], cfg.vit),
@@ -106,18 +108,18 @@ def editor_init(key: Array, cfg: EditorConfig) -> Tuple[dict, dict]:
         "RGB_REDUCE": linear_init(ks[2], 2 * d, d, bias=True, init="kaiming_out"),
         "NIR_REDUCE": linear_init(ks[3], 2 * d, d, bias=True, init="kaiming_out"),
         "TIR_REDUCE": linear_init(ks[4], 2 * d, d, bias=True, init="kaiming_out"),
-        "FUSE_HEAD": linear_init(ks[5], 3 * d, cfg.num_classes, bias=False,
+        "FUSE_HEAD": linear_init(ks[5], M * d, cfg.num_classes, bias=False,
                                  init="classifier"),
         "BACKBONE_HEAD": linear_init(ks[6], d, cfg.num_classes, bias=False,
                                      init="classifier"),
     }
     bn_state: Dict[str, dict] = {}
-    params["FUSE_BN"], bn_state["FUSE_BN"] = batchnorm1d_init(3 * d)
+    params["FUSE_BN"], bn_state["FUSE_BN"] = batchnorm1d_init(M * d)
     params["BACKBONE_BN"], bn_state["BACKBONE_BN"] = batchnorm1d_init(d)
     if cfg.al:
-        params["AL_HEAD"] = linear_init(ks[7], 3 * d, cfg.num_classes, bias=False,
-                                        init="classifier")
-        params["AL_BN"], bn_state["AL_BN"] = batchnorm1d_init(3 * d)
+        params["AL_HEAD"] = linear_init(ks[7], M * d, cfg.num_classes,
+                                        bias=False, init="classifier")
+        params["AL_BN"], bn_state["AL_BN"] = batchnorm1d_init(M * d)
     state = {"ocfr": ocfr_init(cfg.num_classes, d), "bn": bn_state}
     return params, state
 

@@ -117,3 +117,48 @@ def test_data_parallel_8dev_matches_single_device():
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_two_modal_forward_train_and_eval():
+    """TI-absent (2-modal: RGBN300 / Market1501-MM after the NI->TI collate
+    dup is DISABLED) path: fused sequence is 2 tiles, cls4t is [B, 2*dim],
+    pairs = fused + 2 modality heads, gradients finite. The reference's own
+    forward_two_modalities (make_model.py:260-360) is dead code with a
+    latent crash; ours runs SFTS as intended (PARITY.md)."""
+    from editor_tpu.models import editor_apply, editor_init
+
+    import dataclasses
+    cfg, ecfg, batch = tiny_setup()
+    ecfg = dataclasses.replace(ecfg, num_modalities=2)
+    imgs = {"RGB": batch["RGB"], "NI": batch["NI"]}  # no TI
+    labels = batch["pid"]
+    params, state = editor_init(jax.random.PRNGKey(0), ecfg)
+
+    out, new_state = editor_apply(params, state, ecfg, imgs, labels=labels,
+                                  cam_ids=batch["camid"], training=True,
+                                  rng=jax.random.PRNGKey(1))
+    dim = ecfg.vit.embed_dim
+    assert out.cls4t.shape == (8, 2 * dim)
+    assert len(out.pairs) == 3  # fused + RGB head + NIR head
+    assert np.isfinite(float(out.aux_loss))
+    for s, f in out.pairs:
+        assert np.all(np.isfinite(np.asarray(s)))
+        assert np.all(np.isfinite(np.asarray(f)))
+
+    feat, _ = editor_apply(params, state, ecfg, imgs,
+                           cam_ids=batch["camid"], training=False)
+    assert feat.shape == (8, 2 * dim)
+    assert np.all(np.isfinite(np.asarray(feat)))
+
+    loss_func = make_loss(cfg, ecfg.num_classes)
+
+    def loss_of(p):
+        o, _ = editor_apply(p, state, ecfg, imgs, labels=labels,
+                            cam_ids=batch["camid"], training=True,
+                            rng=jax.random.PRNGKey(1))
+        return sum(loss_func(s, f, labels) for s, f in o.pairs) + o.aux_loss
+
+    grads = jax.grad(loss_of)(params)
+    gn = sum(float(jnp.sum(jnp.abs(g))) for g in
+             jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gn) and gn > 0
