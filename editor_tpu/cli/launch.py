@@ -29,6 +29,18 @@ def main(argv=None):
                         default=os.environ.get("MASTER_ADDR", "127.0.0.1"))
     parser.add_argument("--master_port",
                         default=os.environ.get("MASTER_PORT", "29500"))
+    parser.add_argument("--rdzv_backend", default="static",
+                        help="rendezvous backend from the registry: "
+                             "'static' (env-based ranks, the default), "
+                             "'c10d' (TCPStore at --rdzv_endpoint), or "
+                             "'file' (--rdzv_endpoint is a shared path)")
+    parser.add_argument("--rdzv_endpoint", default="",
+                        help="host:port (c10d) or filesystem path (file)")
+    parser.add_argument("--rdzv_id", default="editor_tpu_job")
+    parser.add_argument("--min_nodes", type=int, default=None,
+                        help="elastic lower bound (defaults to --nnodes)")
+    parser.add_argument("--max_nodes", type=int, default=None,
+                        help="elastic upper bound (defaults to --nnodes)")
     parser.add_argument("--max_restarts", type=int, default=3)
     parser.add_argument("--monitor_interval", type=float, default=1.0)
     parser.add_argument("--heartbeat_timeout", type=float, default=None)
@@ -45,13 +57,33 @@ def main(argv=None):
 
     from editor_tpu.parallel.elastic import ElasticSupervisor, WorkerSpec
 
+    node_rank, nnodes = args.node_rank, args.nnodes
+    if args.rdzv_backend != "static":
+        # negotiate node membership through the pluggable rendezvous
+        # registry (reference torchrun --rdzv_backend,
+        # distributed/run.py:383-401 over elastic/rendezvous/api.py): each
+        # node-level launcher joins a round and receives its node rank +
+        # the settled node count before spawning workers.
+        from editor_tpu.parallel.rendezvous import (RendezvousParameters,
+                                                    rendezvous_registry)
+        is_server = args.node_rank == 0 and args.rdzv_backend == "c10d"
+        handler = rendezvous_registry.create_handler(RendezvousParameters(
+            backend=args.rdzv_backend, endpoint=args.rdzv_endpoint,
+            run_id=args.rdzv_id,
+            min_nodes=args.min_nodes or args.nnodes,
+            max_nodes=args.max_nodes or args.nnodes,
+            config={"is_server": is_server}))
+        _, node_rank, nnodes = handler.next_rendezvous(timeout=60.0)
+        print(f"rendezvous[{args.rdzv_backend}] settled: "
+              f"node {node_rank}/{nnodes}")
+
     # single supervisor per node; worker ranks offset by node_rank
-    world = args.nnodes * args.nproc_per_node
+    world = nnodes * args.nproc_per_node
     env = {
         "MASTER_ADDR": args.master_addr,
         "MASTER_PORT": str(args.master_port),
         "WORLD_SIZE": str(world),
-        "NODE_RANK": str(args.node_rank),
+        "NODE_RANK": str(node_rank),
         "NPROC_PER_NODE": str(args.nproc_per_node),
     }
     spec = WorkerSpec(

@@ -261,3 +261,48 @@ def test_file_store_collectives(tmp_path):
     assert out[0] == out[1] == [0, 10]
     assert broadcast_object(st, "b", rank=0, obj=42, gen=1) == 42
     assert broadcast_object(st, "b", rank=1, gen=1) == 42
+
+
+def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
+    """cli.launch --rdzv_backend file: two node-level launchers settle into
+    node ranks {0,1} through the registry before spawning workers
+    (reference torchrun --rdzv_backend, distributed/run.py:383-401)."""
+    import subprocess
+    import sys
+    import threading
+
+    rdzv = str(tmp_path / "rdzv.json")
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as f:
+        f.write("import os\n"
+                "print('W', os.environ['NODE_RANK'],"
+                " os.environ['WORLD_SIZE'], flush=True)\n")
+
+    outs = {}
+
+    def node(i):
+        outs[i] = subprocess.run(
+            [sys.executable, "-m", "editor_tpu.cli.launch",
+             "--nproc_per_node", "1", "--nnodes", "2",
+             "--node_rank", str(i),  # ignored: negotiated via rendezvous
+             "--rdzv_backend", "file", "--rdzv_endpoint", rdzv,
+             "--rdzv_id", "t1", "--max_restarts", "0",
+             "--error_dir", str(tmp_path / f"err{i}"),
+             "--", sys.executable, script],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo")
+
+    ts = [threading.Thread(target=node, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(150)
+    assert set(outs) == {0, 1}
+    ranks = set()
+    for i, r in outs.items():
+        assert r.returncode == 0, (i, r.stdout[-500:], r.stderr[-500:])
+        for line in r.stdout.splitlines():
+            if line.startswith("W "):
+                _, nr, ws = line.split()
+                ranks.add(int(nr))
+                assert ws == "2"
+    assert ranks == {0, 1}, (ranks, outs[0].stdout, outs[1].stdout)
