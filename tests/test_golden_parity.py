@@ -338,8 +338,8 @@ def test_gradient_and_sgd_step_match_reference(golden, tmp_path):
 
     from editor_tpu.solver import make_optimizer as our_make_optimizer
     opt = our_make_optimizer(cfg, golden["params"])
-    new_params, _ = opt.update(our_grads, opt.init(golden["params"]),
-                               golden["params"], cfg.SOLVER.BASE_LR)
+    new_params, opt_state = opt.update(our_grads, opt.init(golden["params"]),
+                                       golden["params"], cfg.SOLVER.BASE_LR)
     _assert_tree_close("params after one SGD step", new_params, ref_p2,
                        rtol=2e-4)
 
@@ -348,6 +348,41 @@ def test_gradient_and_sgd_step_match_reference(golden, tmp_path):
                        rtol=1e-6)
     _assert_tree_close("OCFR centers", new_mstate["ocfr"], ref_s2["ocfr"],
                        rtol=1e-5)
+
+    # ---- SECOND step: nonzero momentum buffers + evolved BN/OCFR state ---
+    # (step 1 has buf = g everywhere; only step 2 proves buf = m*buf + g and
+    # that training continues correctly from the evolved running stats)
+    out = ref(golden["torch_imgs"], cam_label=torch.from_numpy(golden["cam"]),
+              label=t_label, mode=1, writer=DummyWriter(), epoch=1)
+    ref_total = sum(ref_loss_fn(s, f, t_label, None)
+                    for s, f in zip(out[0:8:2], out[1:8:2])) + out[-1]
+    optimizer.zero_grad()
+    ref_total.backward()
+    optimizer.step()
+    ref_p3, ref_s3 = _torch_sd_to_tree(
+        torch, {n: t.detach().clone()
+                for n, t in ref.state_dict().items()}, golden, tmp_path)
+
+    def loss_of2(params):
+        o, ms = editor_apply(
+            params, new_mstate, golden["ecfg"], golden["jax_imgs"],
+            labels=labels, cam_ids=jnp.asarray(golden["cam"]),
+            training=True, rng=jax.random.PRNGKey(0))
+        total = sum(our_loss_fn(s, f, labels) for s, f in o.pairs)
+        return total + o.aux_loss, ms
+
+    (our_total2, mstate3), grads2 = jax.value_and_grad(
+        loss_of2, has_aux=True)(new_params)
+    assert abs(float(our_total2) - float(ref_total)) < \
+        2e-4 * max(1.0, abs(float(ref_total)))
+    params3, _ = opt.update(grads2, opt_state, new_params,
+                            cfg.SOLVER.BASE_LR)
+    _assert_tree_close("params after two SGD steps", params3, ref_p3,
+                       rtol=5e-4)
+    _assert_tree_close("BN stats after two steps", mstate3["bn"],
+                       ref_s3["bn"], rtol=1e-5)
+    _assert_tree_close("OCFR centers after two steps", mstate3["ocfr"],
+                       ref_s3["ocfr"], rtol=1e-4)
 
 
 def test_param_count_matches_reference(golden):
