@@ -79,10 +79,12 @@ def bn2d(c: int, affine: bool = True, bias: bool = True) -> Module:
         return p
 
     def apply(p, x, eps=1e-5):
-        inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
-        y = (x.astype(jnp.float32) - p["mean"]) * inv
+        # promote: f32 stats math under bf16 inputs, exact under f64 (golden)
+        ct = jnp.promote_types(x.dtype, jnp.float32)
+        inv = jax.lax.rsqrt(p["var"].astype(ct) + eps)
+        y = (x.astype(ct) - p["mean"].astype(ct)) * inv
         if "w" in p:
-            y = y * p["w"] + p.get("b", 0.0)
+            y = y * p["w"].astype(ct) + p.get("b", jnp.zeros((), ct)).astype(ct)
         return y.astype(x.dtype)
 
     return Module(init, apply)

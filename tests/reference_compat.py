@@ -85,6 +85,26 @@ def load_reference_modeling():
     return importlib.import_module("modeling.make_model")
 
 
+def load_reference_zoo():
+    """Returns the reference ``basic_cnn_params`` package (the CNN zoo
+    factory, reference modeling/backbones/basic_cnn_params/__init__.py) on
+    CPU torch. The package imports itself absolutely
+    (``from basic_cnn_params.xception import *``), so its parent directory
+    goes on sys.path."""
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    backbones = f"{REFERENCE_ROOT}/modeling/backbones"
+    if backbones not in sys.path:
+        sys.path.insert(0, backbones)
+
+    import importlib
+
+    return importlib.import_module("basic_cnn_params")
+
+
 class RefCfg:
     """Minimal stand-in for the reference yacs cfg (config/defaults.py)."""
 

@@ -177,3 +177,65 @@ def test_symmetric_filters_match_reference_lowlevel():
         ref = ref_ll.rowifilt(xt, g0b, g0a, highpass=hp).numpy()
         ours = D._ifilt(xj, D.G0B, D.G0A, axis=2, highpass=hp)
         np.testing.assert_allclose(to_t(ours), ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# golden parity vs the actual reference torch loss modules (f64)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_aux_losses_golden_vs_reference():
+    """cluster/range/hetero-center/multi-margin vs the reference torch
+    modules (layers/{cluster_loss,range_loss,hcloss,mutilmargin}.py) at f64.
+    torch.set_default_dtype(f64) is required: the reference allocates
+    intermediate ``torch.zeros`` in the default dtype
+    (cluster_loss.py:62-64)."""
+    import sys
+    import torch
+
+    from tests.reference_compat import REFERENCE_ROOT
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from layers.cluster_loss import ClusterLoss
+    from layers.range_loss import RangeLoss
+    from layers.hcloss import hetero_loss
+    from layers.mutilmargin import multiModalMarginLossNew
+    from editor_tpu.losses.extra import (cluster_loss, hetero_center_loss,
+                                         multi_modal_margin_loss, range_loss)
+
+    jax.config.update("jax_enable_x64", True)
+    prev_t = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        rng = np.random.RandomState(0)
+        P, K, d = 4, 4, 16
+        fn = rng.randn(P * K, d)
+        tn = np.repeat(np.arange(P), K)
+        f, t = torch.tensor(fn), torch.tensor(tn)
+        fj, tj = jnp.asarray(fn), jnp.asarray(tn)
+
+        ref = ClusterLoss(1.0, False, True, P, K)(f, t)
+        mine = cluster_loss(fj, tj, P, K, margin=1.0)
+        for r, m in zip(ref, mine):
+            np.testing.assert_allclose(np.asarray(r.detach()), np.asarray(m),
+                                       rtol=1e-10)
+
+        ref = RangeLoss(2, 5.0, 0.5, 0.5, False, True, P, K)(f, t)
+        mine = range_loss(fj, tj, P, K, k=2, margin=5.0, alpha=0.5, beta=0.5)
+        for r, m in zip(ref, mine):
+            np.testing.assert_allclose(np.asarray(r.detach()), np.asarray(m),
+                                       rtol=1e-10)
+
+        f2n, f3n = rng.randn(P * K, d), rng.randn(P * K, d)
+        f2, f3 = torch.tensor(f2n), torch.tensor(f3n)
+        f2j, f3j = jnp.asarray(f2n), jnp.asarray(f3n)
+        np.testing.assert_allclose(
+            float(hetero_loss(0.1)(f, f2, t)),
+            float(hetero_center_loss(fj, f2j, P, K)), rtol=1e-10)
+        np.testing.assert_allclose(
+            float(multiModalMarginLossNew(3.0)(f, f2, f3, t)),
+            float(multi_modal_margin_loss(fj, f2j, f3j, tj, P, K,
+                                          margin=3.0)), rtol=1e-10)
+    finally:
+        torch.set_default_dtype(prev_t)
+        jax.config.update("jax_enable_x64", False)

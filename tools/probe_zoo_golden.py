@@ -1,0 +1,85 @@
+"""Probe torch->jax forward parity for every CNN-zoo entry (dev tool).
+
+For each factory name: build the reference torch model (CPU, f64,
+randomized BN stats, logits branch with norm/dropout in eval), import its
+state_dict via editor_tpu.utils.zoo_import, run both forwards, print the
+max relative error. Used to develop tests/test_zoo_golden.py.
+"""
+
+import sys
+import traceback
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, "/root/repo")
+import torch  # noqa: E402
+
+from tests.reference_compat import load_reference_zoo  # noqa: E402
+from editor_tpu.models.zoo import MODEL_FACTORY, build_model  # noqa: E402
+from editor_tpu.utils.zoo_import import load_torch_zoo_state  # noqa: E402
+
+HW = {
+    "squeezenet1_0": (64, 64), "squeezenet1_0_fc512": (64, 64),
+    "squeezenet1_1": (64, 64),
+    "xception": (128, 64), "inceptionv4": (160, 96),
+    "inceptionresnetv2": (160, 96), "nasnsetmobile": (96, 96),
+    "mudeep": (256, 128), "hacnn": (160, 64),
+    "pcb_p6": (96, 32), "cal": (128, 64),
+}
+
+
+def flat(out):
+    if isinstance(out, (list, tuple)):
+        return np.concatenate([flat(o) for o in out], axis=-1)
+    return out.detach().numpy()
+
+
+def probe(zoo_t, name):
+    nc, hw = 7, HW.get(name, (64, 32))
+    m = zoo_t.build_model(name, nc, pretrained=False, use_gpu=False).double()
+    m.train()
+    for mod in m.modules():
+        if isinstance(mod, (torch.nn.modules.batchnorm._BatchNorm,
+                            torch.nn.modules.instancenorm._InstanceNorm,
+                            torch.nn.Dropout)):
+            mod.eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(0)
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+                mod.running_mean.normal_(0, 0.5, generator=g)
+                mod.running_var.uniform_(0.5, 2.0, generator=g)
+
+    # frozen all-zero params (e.g. CAL's no-shift BN biases) have no DSL slot
+    skip = tuple(n for n, p in m.named_parameters()
+                 if not p.requires_grad and float(p.abs().max()) == 0.0)
+    params, apply = build_model(name, num_classes=nc)
+    params = load_torch_zoo_state(params, m.state_dict(), dtype=jnp.float64,
+                                  skip_keys=skip)
+    x = np.random.RandomState(0).randn(1, *hw, 3)
+    with torch.no_grad():
+        yt = flat(m(torch.from_numpy(x.transpose(0, 3, 1, 2)).double()))
+    yj = np.asarray(apply(params, jnp.asarray(x, jnp.float64)))
+    if yt.shape != yj.shape:
+        return f"SHAPE {yt.shape} vs {yj.shape}"
+    err = np.abs(yt - yj).max() / (np.abs(yt).max() + 1e-12)
+    return f"rel {err:.2e}"
+
+
+def main():
+    zoo_t = load_reference_zoo()
+    names = sys.argv[1:] or sorted(MODEL_FACTORY)
+    for name in names:
+        try:
+            print(f"{name:26s} {probe(zoo_t, name)}", flush=True)
+        except Exception as e:
+            msg = traceback.format_exc().splitlines()[-1][:160]
+            print(f"{name:26s} FAIL {msg}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
