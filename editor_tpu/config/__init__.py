@@ -148,6 +148,9 @@ class TPUConfig:
     # 'block' (fastest measured) | 'dots' | 'names' | 'attn_out'
     REMAT_POLICY: str = "block"
     REMAT_SKIP_LAST: int = 0  # last k backbone layers skip remat (HBM for speed)
+    # run the fusion tail on the (static-bound) selected-token subset only —
+    # mathematically exact, ~30% less tail work (models/editor.py)
+    COMPACT_TAIL: bool = True
     ASYNC_CHECKPOINT: bool = True
     GRAD_COMPRESSION: str = "none"  # 'none' | 'fp16' | 'bf16' | 'powersgd'
     POWERSGD_RANK: int = 4

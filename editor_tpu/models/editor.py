@@ -54,6 +54,7 @@ class EditorConfig:
     ocfr_momentum: float = 0.8  # make_model.py:97-98
     num_modalities: int = 3
     use_pallas: bool = True
+    compact_tail: bool = True   # TPU.COMPACT_TAIL (exact; see _compact_selected)
 
     @property
     def dim(self) -> int:
@@ -88,6 +89,7 @@ def editor_config_from(cfg: Any, num_classes: int, camera_num: int) -> EditorCon
         head_keep=int(cfg.MODEL.HEAD_KEEP),
         frequency_keep=int(cfg.MODEL.FREQUENCY_KEEP),
         al=bool(cfg.MODEL.AL),
+        compact_tail=bool(getattr(cfg.TPU, "COMPACT_TAIL", True)),
     )
 
 
@@ -158,6 +160,48 @@ def _shared_backbone(params, cfg: EditorConfig, mods: List[Array],
     toks = [tokens[i * B:(i + 1) * B] for i in range(M)]
     rolls = [rollout[i * B:(i + 1) * B] for i in range(M)]
     return toks, rolls
+
+
+def _tail_keep_count(cfg: EditorConfig, num_mods: int) -> int:
+    """Static upper bound on SFTS-selected patches: each modality's rollout
+    contributes ≤ heads·HEAD_KEEP tokens (per-head top-k OR, sfts_select)
+    and the frequency mask ≤ FREQUENCY_KEEP (frequency_token_select) —
+    e.g. 3·12·2 + 10 = 82 of 128 for the flagship presets. Padded so the
+    per-modality compact token count (1 + K) is sublane-aligned."""
+    P = cfg.num_patches
+    bound = min(P, cfg.frequency_keep
+                + num_mods * cfg.vit.num_heads * cfg.head_keep)
+    return min(P, ((bound + 8) // 8) * 8 - 1)
+
+
+def _compact_selected(feats: List[Array], index: Array,
+                      keep: int) -> Tuple[List[Array], Array]:
+    """Gather each modality down to [B, 1+keep, C]: cls + the ≤keep selected
+    patches (slots beyond the true selection are filled with unselected
+    patches whose mask stays 0).
+
+    Exact, not approximate: unselected patch tokens are exactly zero after
+    the SFTS mask-multiply, all fusion Linears are bias-free (so their
+    qkv/fc1 values stay zero), their attention logits are filled with
+    -65504 (exp → exactly 0 in f32 and f64), and the downstream pool sums
+    patch rows and divides by the selected *count* — dropping zero rows
+    changes nothing (reference semantics: make_model.py:186-203,
+    vit_pytorch.py:240-258)."""
+    P = index.shape[1]
+    # mask values are 0/1 → top_k puts selected patches first (ties keep
+    # ascending index order, like torch.topk); attention is permutation-
+    # equivariant and the pool permutation-invariant, so order is free.
+    _, sel = jax.lax.top_k(index[:, :, 0], keep)          # [B, keep]
+    # one-hot batched matmul instead of a gather: XLA lowers dynamic gathers
+    # of token rows to a scalar loop on TPU (measured 315 ms at B=128!);
+    # the [B, keep, P] @ [B, P, C] selection is ~3 GFLOP of MXU work instead
+    onehot = jax.nn.one_hot(sel, P, dtype=feats[0].dtype)  # [B, keep, P]
+    cindex = jnp.einsum("bkp,bpo->bko", onehot.astype(index.dtype), index)
+    out = []
+    for f in feats:
+        g = jnp.einsum("bkp,bpc->bkc", onehot, f[:, 1:, :])
+        out.append(jnp.concatenate([f[:, :1, :], g], axis=1))
+    return out, cindex
 
 
 def _masked_mean_pool(fused: Array, index: Array, seg_len: int,
@@ -239,6 +283,13 @@ def editor_apply(
     masked_feats, index, bcc = sfts_select(
         toks, rolls, mask_fre, cfg.head_keep, training)
 
+    seg_len = cfg.num_patches + 1
+    if cfg.compact_tail:
+        keep = _tail_keep_count(cfg, M)
+        if keep < cfg.num_patches:
+            masked_feats, index = _compact_selected(masked_feats, index, keep)
+            seg_len = keep + 1
+
     modal_feats: List[Optional[Array]] = list(masked_feats)
     while len(modal_feats) < 3:
         modal_feats.append(None)
@@ -248,7 +299,6 @@ def editor_apply(
         num_heads=12, ocfr_momentum=cfg.ocfr_momentum, training=training,
         use_pallas=cfg.use_pallas, tp_mesh=tp_mesh)
 
-    seg_len = cfg.num_patches + 1
     pooled = _masked_mean_pool(fused, index, seg_len, M)
 
     reduce_names = ["RGB_REDUCE", "NIR_REDUCE", "TIR_REDUCE"][:M]

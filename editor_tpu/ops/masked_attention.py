@@ -70,6 +70,126 @@ def _xla_masked_from_qkv(qkv: Array, mask: Array, num_heads: int,
 # Pallas kernel (tiled split softmax)
 # ---------------------------------------------------------------------------
 
+def _qkv_masked_full_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill):
+    """Generic (tile-free) variant for compacted fusion sequences: full
+    [g, N, N] logits with the mask outer-product bias. Used when the token
+    count is not the lane-exact 1+128-per-tile layout (see
+    ``editor_apply``'s SFTS compaction: N = 1+K or M·(1+K), K ≈ 87)."""
+    blk = qkv_ref[...]                            # [g, N, 3C]
+    mq = m_ref[...][:, 0, :].astype(jnp.float32)  # [g, N]
+    C = H * D
+    bias = jnp.where(mq[:, :, None] * mq[:, None, :] == 0.0, fill, 0.0)
+    for h in range(H):
+        q = blk[:, :, h * D:(h + 1) * D]
+        k = blk[:, :, C + h * D:C + (h + 1) * D]
+        v = blk[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        l = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale + bias
+        e = jnp.exp(l)  # filled logits underflow to exactly 0 (fwd kernel note)
+        rw = mq / (jnp.sum(e, axis=-1) + 1e-30)
+        p = (e * rw[:, :, None]).astype(v.dtype)
+        o_ref[:, :, h * D:(h + 1) * D] = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _qkv_masked_full_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale,
+                                H, D, fill):
+    """Tile-free VJP twin of :func:`_qkv_masked_full_kernel` (same recompute
+    + softmax-VJP scheme as ``_qkv_masked_bwd_kernel``)."""
+    blk = qkv_ref[...]
+    mq = m_ref[...][:, 0, :].astype(jnp.float32)
+    go = g_ref[...]
+    C = H * D
+    dt = dqkv_ref.dtype
+    bias = jnp.where(mq[:, :, None] * mq[:, None, :] == 0.0, fill, 0.0)
+    for h in range(H):
+        q = blk[:, :, h * D:(h + 1) * D]
+        k = blk[:, :, C + h * D:C + (h + 1) * D]
+        v = blk[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        gh = go[:, :, h * D:(h + 1) * D]
+        l = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale + bias
+        e = jnp.exp(l)
+        inv = 1.0 / (jnp.sum(e, axis=-1) + 1e-30)
+        attn = e * (mq * inv)[:, :, None]          # re-masked rows
+        dat = jax.lax.dot_general(
+            gh, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # [g, N, N]
+        r0 = jnp.sum(dat * e, axis=-1) * inv       # Σ_j dattn_j p_j (pure rows)
+        dl = (attn * (dat - r0[:, :, None]) * scale).astype(blk.dtype)
+        ab = attn.astype(blk.dtype)
+        dv = jax.lax.dot_general(
+            ab, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq = jax.lax.dot_general(
+            dl, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            dl, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, h * D:(h + 1) * D] = dq.astype(dt)
+        dqkv_ref[:, :, C + h * D:C + (h + 1) * D] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * C + h * D:2 * C + (h + 1) * D] = dv.astype(dt)
+
+
+def _full_group(N: int, B: int, bwd: bool = False) -> int:
+    # VMEM budget: [g,N,3C] bf16 block + two [g,N,N] f32 live tensors; the
+    # backward holds attn/dat/dl simultaneously — g=8 overruns the 16MB
+    # scoped limit by ~0.9MB at N=88, so it runs one notch smaller
+    if bwd:
+        g = 4 if N <= 128 else 1
+    else:
+        g = 8 if N <= 128 else (2 if N <= 320 else 1)
+    while B % g:
+        g //= 2
+    return max(g, 1)
+
+
+def _pallas_masked_full(qkv: Array, mask: Array, num_heads: int,
+                        scale: float, mask_fill: float) -> Array:
+    import jax.experimental.pallas as pl
+
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    g = _full_group(N, B)
+    kernel = functools.partial(_qkv_masked_full_kernel, scale=scale, H=H,
+                               D=D, fill=mask_fill)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((g, 1, N), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, N, C), lambda i: (i, 0, 0)),
+    )(qkv, mask.astype(qkv.dtype)[:, None, :])
+
+
+def _pallas_masked_full_bwd(qkv: Array, mask: Array, g_out: Array,
+                            num_heads: int, scale: float,
+                            mask_fill: float) -> Array:
+    import jax.experimental.pallas as pl
+
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, D = num_heads, C // num_heads
+    g = _full_group(N, B, bwd=True)
+    kernel = functools.partial(_qkv_masked_full_bwd_kernel, scale=scale,
+                               H=H, D=D, fill=mask_fill)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((g, 1, N), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((g, N, C), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0)),
+    )(qkv, mask.astype(qkv.dtype)[:, None, :], g_out)
+
+
 def _qkv_masked_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill,
                        tile, n_tiles):
     blk = qkv_ref[...]                          # [g, N, 3C]
@@ -278,19 +398,25 @@ def _pallas_masked_qkv_bwd(qkv: Array, mask: Array, g_out: Array,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill, tile):
+    """``tile == 0`` selects the tile-free full-logits kernels (compacted
+    sequences); otherwise the lane-exact split kernels."""
+    if tile == 0:
+        return _pallas_masked_full(qkv, mask, num_heads, scale, mask_fill)
     return _pallas_masked_from_qkv(qkv, mask, num_heads, scale, mask_fill,
                                    tile)
 
 
 def _fwd(qkv, mask, num_heads, scale, mask_fill, tile):
-    out = _pallas_masked_from_qkv(qkv, mask, num_heads, scale, mask_fill,
-                                  tile)
+    out = _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill, tile)
     return out, (qkv, mask)
 
 
 def _bwd(num_heads, scale, mask_fill, tile, res, g):
     qkv, mask = res
     if jax.default_backend() == "tpu":
+        if tile == 0:
+            return (_pallas_masked_full_bwd(qkv, mask, g, num_heads, scale,
+                                            mask_fill), None)
         return (_pallas_masked_qkv_bwd(qkv, mask, g, num_heads, scale,
                                        mask_fill, tile), None)
     # recompute-based backward through the XLA path (identical math)
@@ -335,8 +461,12 @@ def masked_attention_from_qkv(qkv: Array, mask: Array, num_heads: int,
     B, N, C3 = qkv.shape
     on_tpu = jax.default_backend() == "tpu"
     tileable = tile and N % tile == 0 and (tile - 1) % 128 == 0
-    if use_pallas and on_tpu and tileable:
-        return _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill, tile)
+    if use_pallas and on_tpu:
+        if tileable:
+            return _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill,
+                                   tile)
+        if N <= 512:  # compacted sequences: full-logits kernel
+            return _masked_qkv_tpu(qkv, mask, num_heads, scale, mask_fill, 0)
     return _xla_masked_from_qkv(qkv, mask, num_heads, scale, mask_fill)
 
 

@@ -84,6 +84,31 @@ def test_masked_attention_fwd_bwd_match_xla(N):
                                np.asarray(refg) / scale, atol=1e-2)
 
 
+@pytest.mark.parametrize("N", [88, 264])
+def test_masked_attention_full_kernel_matches_xla(N):
+    """Tile-free full-logits kernels used for COMPACT_TAIL sequences
+    (N = 1+keep per modality / M·(1+keep) joint — models/editor.py)."""
+    from editor_tpu.ops.masked_attention import (_pallas_masked_full,
+                                                 _pallas_masked_full_bwd,
+                                                 _xla_masked_from_qkv)
+    qkv = _rand((8, N, 3 * C), 7)
+    g = _rand((8, N, C), 8)
+    m = (jax.random.uniform(jax.random.PRNGKey(9), (8, N)) < 0.5)
+    m = (m | (jnp.arange(N) % 88 == 0)[None, :]).astype(jnp.float32)
+    ref = _xla_masked_from_qkv(qkv, m, H, SCALE, -65504.0)
+    got = _pallas_masked_full(qkv, m, H, SCALE, -65504.0)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+    _, vjp = jax.vjp(
+        lambda t: _xla_masked_from_qkv(t, m, H, SCALE, -65504.0),
+        qkv.astype(jnp.float32))
+    (refg,) = vjp(g.astype(jnp.float32))
+    gotg = _pallas_masked_full_bwd(qkv, m, g, H, SCALE, -65504.0)
+    scale = float(jnp.max(jnp.abs(refg)))
+    np.testing.assert_allclose(np.asarray(gotg, np.float32) / scale,
+                               np.asarray(refg) / scale, atol=1e-2)
+
+
 def test_rollout_chain_matches_full_chain():
     from editor_tpu.ops.rollout import (rollout_from_probs,
                                         rollout_from_split_probs)

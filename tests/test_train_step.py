@@ -119,6 +119,83 @@ def test_data_parallel_8dev_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
+def test_compact_tail_matches_full_tail():
+    """TPU.COMPACT_TAIL gathers the fusion tail down to the ≤K selected
+    patches per modality (models/editor.py:_compact_selected). The claim is
+    exactness, not approximation: unselected rows are exactly zero after the
+    SFTS mask-multiply and stay zero through the bias-free fusion block, so
+    dropping them changes nothing (reference semantics make_model.py:186-203).
+    Verified here on a grid large enough that compaction actually triggers
+    (32 patches, bound = 2 + 3·4·1 = 14 → keep 15 < 32)."""
+    import dataclasses
+
+    from editor_tpu.models import editor_apply, editor_init
+    from editor_tpu.models.editor import _tail_keep_count
+
+    vit = ViTConfig(img_size=(128, 64), patch_size=16, stride_size=(16, 16),
+                    embed_dim=96, depth=2, num_heads=4, mlp_ratio=2.0,
+                    camera=4, drop_path_rate=0.0)
+    full = EditorConfig(num_classes=4, vit=vit, head_keep=1, frequency_keep=2,
+                        use_pallas=False, compact_tail=False)
+    compact = dataclasses.replace(full, compact_tail=True)
+    assert _tail_keep_count(compact, 3) < compact.num_patches
+
+    rng = np.random.RandomState(1)
+    B = 8
+    imgs = {k: jnp.asarray(rng.randn(B, 128, 64, 3), jnp.float32)
+            for k in ("RGB", "NI", "TI")}
+    labels = jnp.asarray(np.repeat(np.arange(4), B // 4))
+    camid = jnp.zeros((B,), jnp.int32)
+    params, state = editor_init(jax.random.PRNGKey(0), full)
+
+    # eval features
+    f_full, _ = editor_apply(params, state, full, imgs, cam_ids=camid,
+                             training=False)
+    f_comp, _ = editor_apply(params, state, compact, imgs, cam_ids=camid,
+                             training=False)
+    np.testing.assert_allclose(np.asarray(f_full), np.asarray(f_comp),
+                               rtol=2e-5, atol=2e-6)
+
+    # train outputs + carried state
+    o_full, s_full = editor_apply(params, state, full, imgs, labels=labels,
+                                  cam_ids=camid, training=True,
+                                  rng=jax.random.PRNGKey(2))
+    o_comp, s_comp = editor_apply(params, state, compact, imgs, labels=labels,
+                                  cam_ids=camid, training=True,
+                                  rng=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(o_full.score),
+                               np.asarray(o_comp.score), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(o_full.aux_loss), float(o_comp.aux_loss),
+                               rtol=2e-5)
+    for (a, b), (c, d) in zip(o_full.pairs, o_comp.pairs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(d),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full),
+                    jax.tree_util.tree_leaves(s_comp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # gradients of the total engine loss
+    cfg = Config()
+    loss_func = make_loss(cfg, full.num_classes)
+
+    def total_loss(p, ecfg):
+        o, _ = editor_apply(p, state, ecfg, imgs, labels=labels,
+                            cam_ids=camid, training=True,
+                            rng=jax.random.PRNGKey(2))
+        return sum(loss_func(s, f, labels) for s, f in o.pairs) + o.aux_loss
+
+    g_full = jax.grad(total_loss)(params, full)
+    g_comp = jax.grad(total_loss)(params, compact)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_comp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
 def test_two_modal_forward_train_and_eval():
     """TI-absent (2-modal: RGBN300 / Market1501-MM after the NI->TI collate
     dup is DISABLED) path: fused sequence is 2 tiles, cls4t is [B, 2*dim],

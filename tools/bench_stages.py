@@ -77,9 +77,15 @@ def main():
     rolls3 = [rolls[i * B:(i + 1) * B] for i in range(3)]
     mf = freq(images)
 
+    from editor_tpu.models.editor import _compact_selected, _tail_keep_count
+
     def tail(p, s, toks3, rolls3, mf):
         masked, index, _ = sfts_select(toks3, rolls3, mf,
                                        ecfg.head_keep, False)
+        if ecfg.compact_tail:
+            keep = _tail_keep_count(ecfg, 3)
+            if keep < ecfg.num_patches:
+                masked, index = _compact_selected(list(masked), index, keep)
         fused, _, _ = blockmask_apply(
             p["FUSE_block"], list(masked), index, s["ocfr"], None,
             num_heads=12, ocfr_momentum=0.8, training=False,
