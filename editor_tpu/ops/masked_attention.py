@@ -140,7 +140,7 @@ def _full_group(N: int, B: int, bwd: bool = False) -> int:
     # backward holds attn/dat/dl simultaneously — g=8 overruns the 16MB
     # scoped limit by ~0.9MB at N=88, so it runs one notch smaller
     if bwd:
-        g = 4 if N <= 128 else 1
+        g = 4 if N <= 128 else 2  # N=264: g=2 3.01 ms vs g=1 3.17 (sweep log)
     else:
         g = 8 if N <= 128 else (2 if N <= 320 else 1)
     while B % g:
