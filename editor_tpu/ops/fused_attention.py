@@ -48,11 +48,13 @@ def _xla_attention_qkv(qkv: Array, num_heads: int, scale: float,
     H, D = num_heads, C // num_heads
     qkv5 = qkv.reshape(B, N, 3, H, D)
     q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]  # [B,N,H,D]
+    # fp32 softmax/accumulation for bf16/fp32 inputs, fp64 for fp64 (golden)
+    cd = jnp.promote_types(qkv.dtype, jnp.float32)
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=cd) * scale
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(qkv.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=cd)
     out = out.astype(qkv.dtype).reshape(B, N, C)
     if not with_probs:
         return out

@@ -40,16 +40,21 @@ Array = jax.Array
 
 def _xla_masked_attention(q: Array, k: Array, v: Array, mask: Array,
                           scale: float, mask_fill: float) -> Array:
-    """Reference-exact masked attention. q/k/v: [B,H,N,D], mask: [B,N]."""
+    """Reference-exact masked attention. q/k/v: [B,H,N,D], mask: [B,N].
+
+    Softmax/accumulation dtype is fp32 for bf16/fp32 inputs and fp64 for
+    fp64 inputs (the golden suite runs the whole model at f64 — a hard
+    fp32 here would silently cap its precision)."""
+    cd = jnp.promote_types(q.dtype, jnp.float32)
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    m = mask.astype(jnp.float32)
+                        preferred_element_type=cd) * scale
+    m = mask.astype(cd)
     pair = m[:, None, :, None] * m[:, None, None, :]  # [B,1,N,N]
-    logits = jnp.where(pair == 0, mask_fill, logits.astype(jnp.float32))
+    logits = jnp.where(pair == 0, mask_fill, logits.astype(cd))
     attn = jax.nn.softmax(logits, axis=-1)
     attn = attn * m[:, None, :, None]  # re-mask query rows
     out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=cd)
     return out.astype(q.dtype)
 
 

@@ -394,6 +394,135 @@ def test_param_count_matches_reference(golden):
 
 
 @pytest.mark.slow
+def test_compact_tail_matches_reference_at_flagship_grid(tmp_path):
+    """Golden parity with COMPACT_TAIL actually triggering: at the flagship
+    patch grid (256x128 -> 128 patches) the SFTS union bound is
+    3 + 3*12*2 = 75 -> keep 79 < 128, so the fusion tail runs on the
+    compacted token subset (models/editor.py:_compact_selected). Asserts
+    train outputs + aux and eval features match the actual torch reference
+    (which always runs the full 129-token tail), and that our compact and
+    full tails agree to f64 rounding (~1e-12) — the exactness claim."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import dataclasses
+
+        from tests.reference_compat import load_reference_modeling
+        torch_mods = load_reference_modeling()
+        import torch
+        from functools import partial
+
+        import modeling.backbones.vit_pytorch as vp
+
+        class RefCfg256(RefCfg):
+            class INPUT:
+                SIZE_TRAIN = [256, 128]
+
+        depth = 2
+        Hc, Wc = 256, 128
+        Bc = 4
+        torch.manual_seed(3)
+
+        def tiny(img_size=(256, 128), stride_size=16, drop_rate=0.0,
+                 attn_drop_rate=0.0, drop_path_rate=0.1, camera=0, view=0,
+                 local_feature=False, sie_xishu=1.5, **kw):
+            return vp.Trans(
+                img_size=img_size, patch_size=16, stride_size=stride_size,
+                embed_dim=768, depth=depth, num_heads=12, mlp_ratio=4,
+                qkv_bias=True, camera=camera, view=view,
+                drop_path_rate=drop_path_rate, drop_rate=drop_rate,
+                attn_drop_rate=attn_drop_rate,
+                norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+                sie_xishu=sie_xishu, local_feature=local_feature, **kw)
+
+        ref = torch_mods.EDITOR(NUM_CLASSES, RefCfg256, CAMS,
+                                {"vit_base_patch16_224": tiny}).double()
+        with torch.no_grad():
+            ref.FUSE_block.out_norm.weight.normal_(1.0, 0.2)
+            ref.FUSE_block.out_norm.bias.normal_(0.0, 0.2)
+        path = str(tmp_path / "compact_ref.pth")
+        torch.save(ref.state_dict(), path)
+
+        from editor_tpu.models import (EditorConfig, ViTConfig, editor_apply,
+                                       editor_init)
+        from editor_tpu.models.editor import _tail_keep_count
+        from editor_tpu.utils.torch_convert import convert_editor_from_torch
+
+        vit_cfg = ViTConfig(img_size=(Hc, Wc), patch_size=16,
+                            stride_size=(16, 16), embed_dim=768, depth=depth,
+                            num_heads=12, mlp_ratio=4.0, qkv_bias=True,
+                            camera=CAMS, sie_xishu=3.0, drop_path_rate=0.0,
+                            num_fc_classes=NUM_CLASSES)
+        ecfg = EditorConfig(num_classes=NUM_CLASSES, vit=vit_cfg, head_keep=2,
+                            frequency_keep=3, al=False, use_pallas=False,
+                            compact_tail=True)
+        assert _tail_keep_count(ecfg, 3) < ecfg.num_patches  # it triggers
+        params, state = editor_init(jax.random.PRNGKey(0), ecfg)
+        params, state = convert_editor_from_torch(path, ecfg, params, state)
+        as_f64 = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        params, state = as_f64(params), as_f64(state)
+
+        # ties-free frequency counts: 128 windows need distinct counts < 256
+        rng = np.random.RandomState(4)
+        gh, gw = Hc // 16, Wc // 16
+        counts = rng.permutation(gh * gw) * 2 + 1
+        sign = np.empty((Bc, Hc, Wc, 1), np.float32)
+        for b in range(Bc):
+            for wdx in range(gh * gw):
+                cell = -np.ones(256, np.float32)
+                cell[rng.choice(256, counts[wdx], replace=False)] = 1.0
+                r, c = divmod(wdx, gw)
+                sign[b, r * 16:(r + 1) * 16, c * 16:(c + 1) * 16, 0] = \
+                    cell.reshape(16, 16)
+        imgs_np = {m: sign * (0.5 + np.abs(rng.randn(Bc, Hc, Wc, 3)
+                                           ).astype(np.float32))
+                   for m in ("RGB", "NI", "TI")}
+        cam_np = (np.arange(Bc) % CAMS).astype(np.int64)
+        label_np = np.repeat(np.arange(2), Bc // 2).astype(np.int64)
+        t_imgs = {m: torch.from_numpy(
+            v.transpose(0, 3, 1, 2).astype(np.float64)).contiguous()
+            for m, v in imgs_np.items()}
+        j_imgs = {m: jnp.asarray(v, jnp.float64) for m, v in imgs_np.items()}
+
+        ref.train()
+        with torch.no_grad():
+            out = ref(t_imgs, cam_label=torch.from_numpy(cam_np),
+                      label=torch.from_numpy(label_np), mode=1,
+                      writer=DummyWriter(), epoch=1)
+        assert len(out) == 9
+
+        ours, _ = editor_apply(params, state, ecfg, j_imgs,
+                               labels=jnp.asarray(label_np),
+                               cam_ids=jnp.asarray(cam_np), training=True,
+                               rng=jax.random.PRNGKey(0))
+        ref_pairs = list(zip(out[0:8:2], out[1:8:2]))
+        for (os_, of_), (rs_, rf_) in zip(ours.pairs, ref_pairs):
+            assert _rel_err(os_, rs_.numpy()) < 2e-4
+            assert _rel_err(of_, rf_.numpy()) < 2e-4
+        assert abs(float(ours.aux_loss) - float(out[-1])) < \
+            1e-5 * max(1.0, abs(float(out[-1])))
+
+        ref.eval()
+        with torch.no_grad():
+            feat = ref(t_imgs, cam_label=torch.from_numpy(cam_np),
+                       mode=1).numpy()
+        ours_eval, _ = editor_apply(params, state, ecfg, j_imgs,
+                                    cam_ids=jnp.asarray(cam_np),
+                                    training=False)
+        assert _rel_err(ours_eval, feat) < 1e-4
+
+        # compact vs our own full tail: identical to f64 rounding
+        full_cfg = dataclasses.replace(ecfg, compact_tail=False)
+        full_eval, _ = editor_apply(params, state, full_cfg, j_imgs,
+                                    cam_ids=jnp.asarray(cam_np),
+                                    training=False)
+        assert _rel_err(ours_eval, full_eval) < 1e-10
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.slow
 def test_al_setting_matches_reference(tmp_path):
     """AL supervision setting (reference make_model.py:165-167,210-211):
     train outputs (score, cls4t, ori_score, ori, aux) and the eval features
