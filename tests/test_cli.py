@@ -111,6 +111,9 @@ def test_cli_test_random_weights(tiny_root, tmp_path):
 def test_cli_train_tp_mesh(tiny_root, tmp_path):
     """do_train with TPU.MESH_MODEL=2: TP shardings applied through the
     config path; loss finite and artifacts written."""
+    import jax
+    if len(jax.devices()) < 8:  # real-chip runs (EDITOR_TPU_TEST_TPU=1)
+        pytest.skip("needs the 8-device virtual mesh")
     from editor_tpu.cli.train import main
     out = str(tmp_path / "out_tp")
     result = main([
