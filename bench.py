@@ -56,7 +56,7 @@ def main():
     # axon platform block_until_ready returns before execution finishes)
     np.asarray(extract(params, state, images, cams))
 
-    iters = 20 if on_tpu else 2
+    iters = 30 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         out = extract(params, state, images, cams)

@@ -86,10 +86,12 @@ class DataloaderConfig:
     NUM_WORKERS: int = 4
     SAMPLER: str = "softmax_triplet"
     NUM_INSTANCE: int = 16
-    # native (C++/libjpeg, OpenMP) batch decode+resize fast path — PIL is
-    # the parity default (the reference decodes via PIL); the native codec
-    # matches PIL bicubic within ~3 u8 LSB (tests/test_native.py)
-    NATIVE_DECODE: bool = False
+    # native (C++/libjpeg, OpenMP) batch decode+resize fast path: measured
+    # faster than the PIL pool per core (identity-crop 2110 vs 1692 img/s)
+    # and scales with OpenMP threads on many-core hosts; matches PIL bicubic
+    # within ~3 u8 LSB (tests/test_native.py). Auto-falls back to the PIL
+    # thread pool when g++/libjpeg are unavailable.
+    NATIVE_DECODE: bool = True
 
 
 @dataclass

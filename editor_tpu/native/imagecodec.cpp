@@ -58,10 +58,13 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb,
     w = cinfo.output_width;
     h = cinfo.output_height;
     rgb.resize(static_cast<size_t>(w) * h * 3);
+    JSAMPROW rows[32];
     while (cinfo.output_scanline < cinfo.output_height) {
-        unsigned char* row = rgb.data()
-            + static_cast<size_t>(cinfo.output_scanline) * w * 3;
-        jpeg_read_scanlines(&cinfo, &row, 1);
+        const int base = cinfo.output_scanline;
+        const int n = h - base < 32 ? h - base : 32;
+        for (int i = 0; i < n; ++i)
+            rows[i] = rgb.data() + static_cast<size_t>(base + i) * w * 3;
+        jpeg_read_scanlines(&cinfo, rows, n);
     }
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
@@ -77,72 +80,103 @@ inline double bicubic(double x) {  // a = -0.5 (PIL / Catmull-Rom)
     return 0.0;
 }
 
-// Separable bicubic resize of an interleaved RGB8 region.
-void resize_bicubic(const unsigned char* src, int sw, int sh, int x0, int y0,
-                    int cw, int ch, unsigned char* dst, int dw, int dh) {
-    const double sx = static_cast<double>(cw) / dw;
-    const double sy = static_cast<double>(ch) / dh;
-    const double support_x = sx > 1.0 ? 2.0 * sx : 2.0;
-    const double support_y = sy > 1.0 ? 2.0 * sy : 2.0;
-    const double inv_fx = sx > 1.0 ? 1.0 / sx : 1.0;
-    const double inv_fy = sy > 1.0 ? 1.0 / sy : 1.0;
+// Precomputed filter taps for one output axis: for each output index,
+// a clamped source window [lo, lo+len) and normalized float weights.
+struct Taps {
+    std::vector<int> lo;
+    std::vector<int> len;
+    std::vector<float> w;  // [out, max_len] row-major
+    int max_len = 0;
+};
 
-    // horizontal pass into a float buffer [ch, dw, 3]
-    std::vector<float> tmp(static_cast<size_t>(ch) * dw * 3);
-    std::vector<double> wbuf;
-    for (int ox = 0; ox < dw; ++ox) {
-        const double center = (ox + 0.5) * sx - 0.5;
-        int lo = static_cast<int>(std::floor(center - support_x)) + 1;
-        int hi = static_cast<int>(std::floor(center + support_x));
-        wbuf.assign(hi - lo + 1, 0.0);
+Taps make_taps(int src_n, int dst_n) {
+    const double s = static_cast<double>(src_n) / dst_n;
+    const double support = s > 1.0 ? 2.0 * s : 2.0;
+    const double inv_f = s > 1.0 ? 1.0 / s : 1.0;
+    Taps t;
+    t.lo.resize(dst_n);
+    t.len.resize(dst_n);
+    t.max_len = static_cast<int>(support) * 2 + 2;
+    t.w.assign(static_cast<size_t>(dst_n) * t.max_len, 0.0f);
+    std::vector<double> wbuf(t.max_len);
+    for (int o = 0; o < dst_n; ++o) {
+        const double center = (o + 0.5) * s - 0.5;
+        int lo = static_cast<int>(std::floor(center - support)) + 1;
+        int hi = static_cast<int>(std::floor(center + support));
         double wsum = 0.0;
-        for (int ix = lo; ix <= hi; ++ix) {
-            double wv = bicubic((ix - center) * inv_fx);
-            wbuf[ix - lo] = wv;
+        const int n = hi - lo + 1;
+        for (int i = lo; i <= hi; ++i) {
+            double wv = bicubic((i - center) * inv_f);
+            wbuf[i - lo] = wv;
             wsum += wv;
         }
-        for (double& wv : wbuf) wv /= wsum;
-        for (int y = 0; y < ch; ++y) {
-            const unsigned char* row =
-                src + (static_cast<size_t>(y0 + y) * sw + x0) * 3;
-            double acc[3] = {0, 0, 0};
-            for (int ix = lo; ix <= hi; ++ix) {
-                int cx = ix < 0 ? 0 : (ix >= cw ? cw - 1 : ix);
-                const unsigned char* px = row + static_cast<size_t>(cx) * 3;
-                for (int c = 0; c < 3; ++c) acc[c] += wbuf[ix - lo] * px[c];
-            }
-            float* out = tmp.data() + (static_cast<size_t>(y) * dw + ox) * 3;
-            for (int c = 0; c < 3; ++c) out[c] = static_cast<float>(acc[c]);
+        // fold border-clamped taps into the edge weights so the inner loop
+        // needs no per-pixel clamp (identical result to index clamping)
+        int clo = lo < 0 ? 0 : lo;
+        int chi = hi >= src_n ? src_n - 1 : hi;
+        t.lo[o] = clo;
+        t.len[o] = chi - clo + 1;
+        float* wr = t.w.data() + static_cast<size_t>(o) * t.max_len;
+        for (int i = lo; i <= hi; ++i) {
+            int ci = i < 0 ? 0 : (i >= src_n ? src_n - 1 : i);
+            wr[ci - clo] += static_cast<float>(wbuf[i - lo] / wsum);
         }
     }
-    // vertical pass
-    for (int oy = 0; oy < dh; ++oy) {
-        const double center = (oy + 0.5) * sy - 0.5;
-        int lo = static_cast<int>(std::floor(center - support_y)) + 1;
-        int hi = static_cast<int>(std::floor(center + support_y));
-        wbuf.assign(hi - lo + 1, 0.0);
-        double wsum = 0.0;
-        for (int iy = lo; iy <= hi; ++iy) {
-            double wv = bicubic((iy - center) * inv_fy);
-            wbuf[iy - lo] = wv;
-            wsum += wv;
-        }
-        for (double& wv : wbuf) wv /= wsum;
+    return t;
+}
+
+// Separable bicubic resize of an interleaved RGB8 region (float math,
+// precomputed taps, row-major passes — the per-core hot loop).
+void resize_bicubic(const unsigned char* src, int sw, int sh, int x0, int y0,
+                    int cw, int ch, unsigned char* dst, int dw, int dh) {
+    if (cw == dw && ch == dh) {  // identity: plain (cropped) row copies
+        for (int y = 0; y < ch; ++y)
+            std::memcpy(dst + static_cast<size_t>(y) * dw * 3,
+                        src + (static_cast<size_t>(y0 + y) * sw + x0) * 3,
+                        static_cast<size_t>(dw) * 3);
+        return;
+    }
+    const Taps tx = make_taps(cw, dw);
+    const Taps ty = make_taps(ch, dh);
+
+    // horizontal pass into a float buffer [ch, dw, 3], row-major
+    std::vector<float> tmp(static_cast<size_t>(ch) * dw * 3);
+    for (int y = 0; y < ch; ++y) {
+        const unsigned char* row =
+            src + (static_cast<size_t>(y0 + y) * sw + x0) * 3;
+        float* out_row = tmp.data() + static_cast<size_t>(y) * dw * 3;
         for (int ox = 0; ox < dw; ++ox) {
-            double acc[3] = {0, 0, 0};
-            for (int iy = lo; iy <= hi; ++iy) {
-                int cy = iy < 0 ? 0 : (iy >= ch ? ch - 1 : iy);
-                const float* px =
-                    tmp.data() + (static_cast<size_t>(cy) * dw + ox) * 3;
-                for (int c = 0; c < 3; ++c) acc[c] += wbuf[iy - lo] * px[c];
+            const float* wr = tx.w.data()
+                + static_cast<size_t>(ox) * tx.max_len;
+            const unsigned char* px = row
+                + static_cast<size_t>(tx.lo[ox]) * 3;
+            float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f;
+            for (int i = 0; i < tx.len[ox]; ++i, px += 3) {
+                const float wv = wr[i];
+                a0 += wv * px[0];
+                a1 += wv * px[1];
+                a2 += wv * px[2];
             }
-            unsigned char* out =
-                dst + (static_cast<size_t>(oy) * dw + ox) * 3;
-            for (int c = 0; c < 3; ++c) {
-                double v = acc[c];
-                out[c] = static_cast<unsigned char>(
-                    v < 0.0 ? 0 : (v > 255.0 ? 255 : std::lround(v)));
-            }
+            out_row[ox * 3 + 0] = a0;
+            out_row[ox * 3 + 1] = a1;
+            out_row[ox * 3 + 2] = a2;
+        }
+    }
+    // vertical pass, output-row-major (contiguous reads of tmp rows)
+    for (int oy = 0; oy < dh; ++oy) {
+        const float* wr = ty.w.data() + static_cast<size_t>(oy) * ty.max_len;
+        unsigned char* out_row = dst + static_cast<size_t>(oy) * dw * 3;
+        const int n = ty.len[oy];
+        const float* base = tmp.data()
+            + static_cast<size_t>(ty.lo[oy]) * dw * 3;
+        for (int x3 = 0; x3 < dw * 3; ++x3) {
+            float acc = 0.0f;
+            const float* px = base + x3;
+            for (int i = 0; i < n; ++i, px += static_cast<size_t>(dw) * 3)
+                acc += wr[i] * *px;
+            out_row[x3] = static_cast<unsigned char>(
+                acc < 0.0f ? 0 : (acc > 255.0f ? 255
+                                  : static_cast<int>(acc + 0.5f)));
         }
     }
 }

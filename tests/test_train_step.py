@@ -119,6 +119,38 @@ def test_data_parallel_8dev_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_tail_keep_bound_covers_selection():
+    """The static COMPACT_TAIL bound (_tail_keep_count) must dominate the
+    union-mask population for ANY inputs: freq contributes exactly
+    frequency_keep windows, each rollout head exactly head_keep tokens
+    (sfts_select / part_attention_mask) — property-checked on random data."""
+    from editor_tpu.models.sfts import sfts_select
+
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        B, H, P = 5, rng.randint(2, 13), int(rng.choice([32, 64, 128]))
+        C = 8
+        keep_ph = rng.randint(1, 4)
+        fkeep = rng.randint(1, 11)
+        M = rng.randint(2, 4)
+        feats = [jnp.asarray(rng.randn(B, 1 + P, C), jnp.float32)
+                 for _ in range(M)]
+        rolls = [jnp.asarray(np.abs(rng.randn(B, H, P)), jnp.float32)
+                 for _ in range(M)]
+        # frequency mask: exactly fkeep selected windows per image
+        mf = np.zeros((B, P), bool)
+        for b in range(B):
+            mf[b, rng.choice(P, fkeep, replace=False)] = True
+        _, index, _ = sfts_select(feats, rolls, jnp.asarray(mf), keep_ph,
+                                  training=False)
+        bound = fkeep + M * H * keep_ph
+        counts = np.asarray(jnp.sum(index, axis=1))[:, 0]
+        assert counts.max() <= min(bound, P)
+        # the sublane-padded static keep (_tail_keep_count formula) always
+        # dominates the bound, so compaction never drops a selected token
+        assert ((bound + 8) // 8) * 8 - 1 >= bound
+
+
 @pytest.mark.slow
 def test_compact_tail_matches_full_tail():
     """TPU.COMPACT_TAIL gathers the fusion tail down to the ≤K selected
