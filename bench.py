@@ -56,7 +56,7 @@ def main():
     # axon platform block_until_ready returns before execution finishes)
     np.asarray(extract(params, state, images, cams))
 
-    iters = 30 if on_tpu else 2
+    iters = 50 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         out = extract(params, state, images, cams)
@@ -112,7 +112,7 @@ def bench_train(on_tpu: bool) -> float:
     state, metrics = step(state, batch, epoch)   # compile
     float(metrics["loss"])                       # host readback barrier
 
-    iters = 10 if on_tpu else 2
+    iters = 15 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, epoch)
