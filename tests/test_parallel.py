@@ -348,3 +348,65 @@ def test_tensor_parallel_step_matches_replicated():
             jax.tree_util.tree_leaves_with_path(tp_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                    err_msg=jax.tree_util.keystr(kp))
+
+
+@pytest.mark.slow
+def test_tensor_parallel_compact_tail_matches_replicated():
+    """COMPACT_TAIL under a (data=4, model=2) TP mesh: a grid large enough
+    that the fusion tail actually compacts (32 patches, bound = 2+3·4·1 = 14
+    → keep 15) — the compact gather runs under GSPMD and the fusion
+    masked-attention shard_map sees compacted shapes. Loss parity vs the
+    replicated DP step guards the interaction."""
+    import dataclasses
+
+    from editor_tpu.config import Config
+    from editor_tpu.engine import build_train_step, make_train_state
+    from editor_tpu.losses import make_loss
+    from editor_tpu.models import EditorConfig, ViTConfig
+    from editor_tpu.models.editor import _tail_keep_count, editor_init
+    from editor_tpu.parallel import make_mesh, shard_batch
+    from editor_tpu.parallel.tp import (permute_qkv_params,
+                                        train_state_tp_shardings)
+    from editor_tpu.solver import make_optimizer, make_scheduler
+
+    vit = ViTConfig(img_size=(128, 64), patch_size=16, stride_size=(16, 16),
+                    embed_dim=96, depth=2, num_heads=4, mlp_ratio=2.0,
+                    camera=4, drop_path_rate=0.0)
+    ecfg = EditorConfig(num_classes=4, vit=vit, head_keep=1, frequency_keep=2,
+                        use_pallas=False, compact_tail=True)
+    assert _tail_keep_count(ecfg, 3) < ecfg.num_patches
+    cfg = Config()
+    loss_func = make_loss(cfg, 4)
+    lr_fn = make_scheduler(cfg)
+    p, _ = editor_init(jax.random.PRNGKey(0), ecfg)
+    opt = make_optimizer(cfg, p)
+
+    rng = np.random.RandomState(3)
+    batch = {
+        "RGB": jnp.asarray(rng.randn(8, 128, 64, 3), jnp.float32),
+        "NI": jnp.asarray(rng.randn(8, 128, 64, 3), jnp.float32),
+        "TI": jnp.asarray(rng.randn(8, 128, 64, 3), jnp.float32),
+        "pid": jnp.asarray(np.repeat(np.arange(4), 2)),
+        "camid": jnp.zeros((8,), jnp.int32),
+    }
+
+    mesh_dp = make_mesh(data=8, model=1)
+    s_ref = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step_ref = build_train_step(ecfg, opt, loss_func, lr_fn, 0.01,
+                                compute_dtype=jnp.float32, mesh=mesh_dp,
+                                donate=False)
+    _, m_ref = step_ref(s_ref, shard_batch(mesh_dp, batch), jnp.asarray(1))
+
+    mesh2d = make_mesh(data=4, model=2)
+    s_tp = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    s_tp = dataclasses.replace(
+        s_tp, params=permute_qkv_params(s_tp.params, vit.num_heads, 2))
+    shardings = train_state_tp_shardings(s_tp, mesh2d)
+    s_tp = jax.tree_util.tree_map(jax.device_put, s_tp, shardings)
+    step_tp = build_train_step(ecfg, opt, loss_func, lr_fn, 0.01,
+                               compute_dtype=jnp.float32, mesh=mesh2d,
+                               donate=False, state_shardings=shardings)
+    _, m_tp = step_tp(s_tp, shard_batch(mesh2d, batch), jnp.asarray(1))
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=1e-5)
