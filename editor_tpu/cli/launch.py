@@ -66,13 +66,15 @@ def main(argv=None):
         # the settled node count before spawning workers.
         from editor_tpu.parallel.rendezvous import (RendezvousParameters,
                                                     rendezvous_registry)
-        is_server = args.node_rank == 0 and args.rdzv_backend == "c10d"
+        # c10d server election is automatic ("auto"): the launcher that can
+        # bind --rdzv_endpoint hosts the store, everyone else connects —
+        # node ranks are an OUTPUT of the rendezvous, so they cannot gate
+        # who serves (with the default node_rank=0 every node would try).
         handler = rendezvous_registry.create_handler(RendezvousParameters(
             backend=args.rdzv_backend, endpoint=args.rdzv_endpoint,
             run_id=args.rdzv_id,
             min_nodes=args.min_nodes or args.nnodes,
-            max_nodes=args.max_nodes or args.nnodes,
-            config={"is_server": is_server}))
+            max_nodes=args.max_nodes or args.nnodes))
         _, node_rank, nnodes = handler.next_rendezvous(timeout=60.0)
         print(f"rendezvous[{args.rdzv_backend}] settled: "
               f"node {node_rank}/{nnodes}")

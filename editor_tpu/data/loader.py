@@ -119,6 +119,7 @@ class BatchLoader:
         # native batch decode only applies to the default path (a custom
         # decode_fn — synthetic tests — must keep per-item semantics)
         self.native_decode = native_decode and decode_fn is None
+        self._native_fail_streak = 0
 
     def _assemble(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         items = [self.items[i] for i in idxs]
@@ -128,8 +129,29 @@ class BatchLoader:
                 decoded = decode_batch_native(
                     items, self.size_hw, self.wide_jpeg,
                     self.num_modalities)
-            except RuntimeError:
-                self.native_decode = False  # no toolchain/libjpeg: stop trying
+                self._native_fail_streak = 0
+            except RuntimeError as e:
+                import logging
+                log = logging.getLogger("editor_tpu.data")
+                if "unavailable" in str(e):
+                    # no toolchain/libjpeg at all: stop trying
+                    self.native_decode = False
+                    log.warning("native decode unavailable (%s); "
+                                "using the PIL path", e)
+                else:
+                    # a transient per-file failure (truncated file mid-write,
+                    # one odd format) must not permanently drop throughput:
+                    # PIL (with its retry loop) covers THIS batch; only give
+                    # up on the fast path if every batch keeps failing
+                    self._native_fail_streak += 1
+                    if self._native_fail_streak >= 3:
+                        self.native_decode = False
+                    log.warning(
+                        "native batch decode failed (%s); PIL fallback for "
+                        "this batch%s", e,
+                        "" if self.native_decode
+                        else " — disabling native decode after 3 "
+                             "consecutive failures")
         if decoded is None:
             decoded = list(self.pool.map(self.decode_fn, items))
         batch: Dict[str, np.ndarray] = {}

@@ -396,8 +396,12 @@ def vit_apply(
             scan_body = jax.checkpoint(body)
     else:
         scan_body = body
-    k = cfg.remat_skip_last if (cfg.remat and cfg.remat_skip_last > 0
-                                and cfg.remat_skip_last < cfg.depth) else 0
+    k = (min(cfg.remat_skip_last, cfg.depth)
+         if (cfg.remat and cfg.remat_skip_last > 0) else 0)
+    if k == cfg.depth:
+        # REMAT_SKIP_LAST >= depth asks for NO remat'd layers: honor it with
+        # one plain scan rather than silently remat'ing everything
+        scan_body, k = body, 0
     if k:
         # remat'd scan over the first depth-k layers, plain scan over the
         # last k (their activations stay resident; no backward recompute)

@@ -71,12 +71,13 @@ def _head_split_softmax_av(q, k, v, scale):
 
     Returns (out [G,N,D] fp32, p_patch [G,N,P] fp32, p_cls [G,N] fp32).
 
-    No running-max stabilization in this FORWARD kernel: exp() of the raw
-    fp32 logits is exact softmax up to rounding while |logit| < ~85 —
-    LN-bounded ViT activations keep |q·k·scale| around ±30 even trained —
-    and dropping the max pass saves two VPU sweeps over the [*, N, P]
-    logits per head (~0.2 ms/layer at the flagship batch, measured). The
-    backward recompute (_qkv_bwd_kernel) keeps the stabilized form.
+    Row-max-stabilized softmax, like the torch reference: fp32 exp
+    overflows past ~88 and a whole row underflowing would divide by zero,
+    so raw exp is only safe for |logit| < ~85 — typical for LN-bounded ViT
+    activations but not guaranteed mid-training. The max element
+    contributes exp(0) = 1, so the denominator is >= 1 and needs no
+    epsilon. Costs one lane-reduce sweep per head (~0.1 ms/layer at the
+    flagship batch); the subtract fuses into the exp.
     """
     kp = k[:, 1:, :]   # [G, P, D] patch keys
     # patch-key logits on the MXU: [G, N, P] — P=128 is lane-exact
@@ -86,9 +87,10 @@ def _head_split_softmax_av(q, k, v, scale):
     # cls-key column on the VPU: sum_d q[g,n,d] * k[g,0,d] -> [G, N]
     lc = jnp.sum(q.astype(jnp.float32) * k[:, 0:1, :].astype(jnp.float32),
                  axis=-1) * scale
-    ep = jnp.exp(lp)
-    ec = jnp.exp(lc)
-    inv = 1.0 / (jnp.sum(ep, axis=-1) + ec)  # [G, N]
+    m = jnp.maximum(jnp.max(lp, axis=-1), lc)  # [G, N] row max
+    ep = jnp.exp(lp - m[:, :, None])
+    ec = jnp.exp(lc - m)
+    inv = 1.0 / (jnp.sum(ep, axis=-1) + ec)  # [G, N]; denom >= 1
     p_patch = ep * inv[:, :, None]
     p_cls = ec * inv
     out = jax.lax.dot_general(
@@ -153,10 +155,11 @@ def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, H, D):
             preferred_element_type=jnp.float32) * scale        # [g, N, P]
         lc = jnp.sum(q.astype(jnp.float32) * k[:, 0:1, :].astype(jnp.float32),
                      axis=-1) * scale                          # [g, N]
-        # raw-exp softmax, same rationale as the forward kernel (see
-        # _head_split_softmax_av) — saves two VPU sweeps per head
-        ep = jnp.exp(lp)
-        ec = jnp.exp(lc)
+        # row-max-stabilized softmax, same form as the forward kernel
+        # (_head_split_softmax_av): denom >= 1, overflow-safe
+        m = jnp.maximum(jnp.max(lp, axis=-1), lc)
+        ep = jnp.exp(lp - m[:, :, None])
+        ec = jnp.exp(lc - m)
         inv = 1.0 / (jnp.sum(ep, axis=-1) + ec)
         pp = ep * inv[:, :, None]                              # [g, N, P]
         pc = ec * inv                                          # [g, N]

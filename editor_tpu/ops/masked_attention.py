@@ -91,8 +91,11 @@ def _qkv_masked_full_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill):
         l = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale + bias
-        e = jnp.exp(l)  # filled logits underflow to exactly 0 (fwd kernel note)
-        rw = mq / (jnp.sum(e, axis=-1) + 1e-30)
+        # row-max-stabilized: filled entries exp to exactly 0 whenever the
+        # row has any valid key; fully-masked rows get uniform probs that
+        # the mq re-mask zeroes. denom >= 1 (max element exps to 1).
+        e = jnp.exp(l - jnp.max(l, axis=-1)[:, :, None])
+        rw = mq / jnp.sum(e, axis=-1)
         p = (e * rw[:, :, None]).astype(v.dtype)
         o_ref[:, :, h * D:(h + 1) * D] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -117,8 +120,8 @@ def _qkv_masked_full_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale,
         l = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale + bias
-        e = jnp.exp(l)
-        inv = 1.0 / (jnp.sum(e, axis=-1) + 1e-30)
+        e = jnp.exp(l - jnp.max(l, axis=-1)[:, :, None])  # stabilized (fwd note)
+        inv = 1.0 / jnp.sum(e, axis=-1)  # denom >= 1
         attn = e * (mq * inv)[:, :, None]          # re-masked rows
         dat = jax.lax.dot_general(
             gh, v, (((2,), (2,)), ((0,), (0,))),
@@ -222,19 +225,23 @@ def _qkv_masked_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill,
             kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
             lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale  # [g,N]
             lcs.append(lc + cls_bias[t])
-        # no running-max in the forward (see fused_attention
-        # _head_split_softmax_av): filled logits exp to exactly 0, valid
-        # logits stay < ~85 in fp32. Fully-masked query rows make every
-        # term underflow — the denominator epsilon keeps 0/denom = 0 for
-        # them instead of 0·inf = NaN (their rows are re-masked to 0 by
-        # ``rw = mq/denom`` anyway).
-        eps = [jnp.exp(lp) for lp in lps]
-        ecs = [jnp.exp(lc) for lc in lcs]
+        # row-max-stabilized softmax across all tiles (see fused_attention
+        # _head_split_softmax_av): filled logits still exp to exactly 0
+        # whenever the row has a valid key, overflow is impossible, and the
+        # denominator is >= 1 (the max element exps to 1) — fully-masked
+        # query rows get uniform probs that ``rw = mq/denom`` re-masks to 0.
+        m = lcs[0]
+        for lc in lcs[1:]:
+            m = jnp.maximum(m, lc)
+        for lp in lps:
+            m = jnp.maximum(m, jnp.max(lp, axis=-1))       # [g, N]
+        eps = [jnp.exp(lp - m[:, :, None]) for lp in lps]
+        ecs = [jnp.exp(lc - m) for lc in lcs]
         denom = ecs[0] + sum(ecs[1:])
         for ep in eps:
             denom = denom + jnp.sum(ep, axis=-1)
         # fold the post-softmax query-row re-mask into the normalization
-        rw = mq / (denom + 1e-30)                         # [g, N]
+        rw = mq / denom                                   # [g, N]
         acc = None
         for t in range(n_tiles):
             pp = (eps[t] * rw[:, :, None]).astype(v.dtype)
@@ -314,14 +321,18 @@ def _qkv_masked_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale, H, D,
             kc = k[:, t * tile:t * tile + 1, :].astype(jnp.float32)
             lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1) * scale
             lcs.append(lc + cls_bias[t])
-        # raw-exp softmax with the same fully-masked-row guard as the
-        # forward kernel (filled logits exp to exactly 0)
-        eps = [jnp.exp(lp) for lp in lps]
-        ecs = [jnp.exp(lc) for lc in lcs]
+        # row-max-stabilized softmax, same form as the forward kernel
+        m = lcs[0]
+        for lc in lcs[1:]:
+            m = jnp.maximum(m, lc)
+        for lp in lps:
+            m = jnp.maximum(m, jnp.max(lp, axis=-1))
+        eps = [jnp.exp(lp - m[:, :, None]) for lp in lps]
+        ecs = [jnp.exp(lc - m) for lc in lcs]
         denom = ecs[0] + sum(ecs[1:])
         for ep in eps:
             denom = denom + jnp.sum(ep, axis=-1)
-        inv = 1.0 / (denom + 1e-30)  # pure softmax normalizer
+        inv = 1.0 / denom  # pure softmax normalizer; denom >= 1
         rw = mq * inv              # row re-mask folded in (= attn rows)
         # --- dattn pieces + pure-softmax row correction r0 ---
         ghf = gh.astype(jnp.float32)

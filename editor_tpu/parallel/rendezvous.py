@@ -99,10 +99,17 @@ class _StoreServer(socketserver.ThreadingTCPServer):
 
 class TCPStore:
     """Minimal TCPStore equivalent (reference rendezvous.py:54 store
-    creation): rank-0 hosts the server; everyone connects as a client."""
+    creation): rank-0 hosts the server; everyone connects as a client.
 
-    def __init__(self, host: str, port: int, is_server: bool = False):
+    Clients retry refused connections for up to ``connect_timeout`` seconds
+    — normal multi-node skew means joiners routinely dial in before the
+    server's launcher has bound the port (the reference TCPStore polls until
+    its timeout for exactly this startup race)."""
+
+    def __init__(self, host: str, port: int, is_server: bool = False,
+                 connect_timeout: float = 60.0):
         self.addr = (host, port)
+        self.connect_timeout = connect_timeout
         self.server = None
         if is_server:
             self.server = _StoreServer((host, port), _StoreHandler)
@@ -111,8 +118,18 @@ class TCPStore:
             threading.Thread(target=self.server.serve_forever,
                              daemon=True).start()
 
+    def _connect(self):
+        deadline = time.time() + self.connect_timeout
+        while True:
+            try:
+                return socket.create_connection(self.addr, timeout=10)
+            except (ConnectionRefusedError, ConnectionResetError, OSError):
+                if self.server is not None or time.time() >= deadline:
+                    raise
+                time.sleep(0.25)
+
     def _call(self, msg):
-        with socket.create_connection(self.addr, timeout=10) as s:
+        with self._connect() as s:
             _send(s, msg)
             return _recv(s)
 
@@ -487,22 +504,45 @@ class RendezvousHandlerRegistry:
         return handler
 
 
+def _parse_hostport(endpoint: str, backend: str) -> Tuple[str, int]:
+    host, _, port = endpoint.rpartition(":")
+    try:
+        return host or "127.0.0.1", int(port)
+    except ValueError:
+        raise ValueError(
+            f"the '{backend}' rendezvous backend needs --rdzv_endpoint "
+            f"HOST:PORT; got {endpoint!r}")
+
+
 def _create_c10d(params: RendezvousParameters) -> RendezvousHandler:
-    host, _, port = params.endpoint.rpartition(":")
-    store = TCPStore(host or "127.0.0.1", int(port),
-                     is_server=bool(params.get("is_server", False)))
+    host, port = _parse_hostport(params.endpoint, "c10d")
+    is_server = params.get("is_server", "auto")
+    if is_server == "auto":
+        # torchrun-style server election without pre-assigned node ranks:
+        # try to bind the endpoint — EADDRNOTAVAIL (host is another machine)
+        # or EADDRINUSE (a co-hosted launcher already serves) both mean
+        # "be a client". Exactly one launcher wins the bind.
+        try:
+            store = TCPStore(host, port, is_server=True)
+        except OSError:
+            store = TCPStore(host, port, is_server=False)
+    else:
+        store = TCPStore(host, port, is_server=bool(is_server))
     return _DynamicHandler("c10d", store, params)
 
 
 def _create_file(params: RendezvousParameters) -> RendezvousHandler:
+    if not params.endpoint:
+        raise ValueError("the 'file' rendezvous backend needs "
+                         "--rdzv_endpoint PATH (a shared filesystem path)")
     return _DynamicHandler("file", FileStore(params.endpoint), params)
 
 
 def _create_static(params: RendezvousParameters) -> RendezvousHandler:
     store = None
     if ":" in params.endpoint:
-        host, _, port = params.endpoint.rpartition(":")
-        store = TCPStore(host or "127.0.0.1", int(port),
+        host, port = _parse_hostport(params.endpoint, "static")
+        store = TCPStore(host, port,
                          is_server=int(params.get("rank", 0)) == 0)
     return _StaticHandler(store, params)
 

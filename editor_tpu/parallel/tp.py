@@ -51,7 +51,9 @@ def permute_qkv_params(params: Any, num_heads: int, tp: int,
     exporting a TP-trained state to the canonical layout)."""
     if tp <= 1:
         return params
-    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    # copy-on-write along the single path being rewritten; every other
+    # subtree is shared with the input (never mutated)
+    out = dict(params)
     bb = dict(out["BACKBONE"])
     blocks = dict(bb["blocks"])
     attn = dict(blocks["attn"])
@@ -66,7 +68,6 @@ def permute_qkv_params(params: Any, num_heads: int, tp: int,
     attn["qkv"] = qkv
     blocks["attn"] = attn
     bb["blocks"] = blocks
-    out = dict(out)
     out["BACKBONE"] = bb
     return out
 

@@ -306,3 +306,64 @@ def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
                 ranks.add(int(nr))
                 assert ws == "2"
     assert ranks == {0, 1}, (ranks, outs[0].stdout, outs[1].stdout)
+
+
+def test_tcp_store_client_retries_until_server_up():
+    """A joiner that dials in before the server's launcher has bound the
+    port must poll (the reference TCPStore retries until timeout), not die
+    with ConnectionRefusedError."""
+    port = _port() + 601
+    client = TCPStore("127.0.0.1", port, connect_timeout=10.0)
+    holder = {}
+
+    def late_server():
+        time.sleep(0.5)
+        holder["server"] = TCPStore("127.0.0.1", port, is_server=True)
+        holder["server"].set("ready", 1)
+
+    t = threading.Thread(target=late_server, daemon=True)
+    t.start()
+    try:
+        assert client.wait("ready", timeout=10) == 1
+    finally:
+        t.join(5)
+        holder["server"].close()
+
+
+def test_c10d_auto_server_election():
+    """Without node ranks (they are an OUTPUT of rendezvous), the c10d
+    creator elects the server by bind: first launcher on the endpoint host
+    serves, the co-hosted second gets EADDRINUSE and joins as a client."""
+    from editor_tpu.parallel.rendezvous import (RendezvousParameters,
+                                                rendezvous_registry)
+    port = _port() + 602
+    mk = lambda: rendezvous_registry.create_handler(RendezvousParameters(
+        backend="c10d", endpoint=f"127.0.0.1:{port}", run_id="auto_run",
+        min_nodes=2, max_nodes=2))
+    h1 = mk()
+    h2 = mk()
+    assert (h1.store.server is None) != (h2.store.server is None)
+    results = {}
+
+    def node(i, h):
+        results[i] = h.next_rendezvous(timeout=20)
+
+    threads = [threading.Thread(target=node, args=(i, h))
+               for i, h in enumerate((h1, h2))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert sorted(r[1] for r in results.values()) == [0, 1]
+    assert {r[2] for r in results.values()} == {2}
+    h1.shutdown(), h2.shutdown()
+
+
+def test_c10d_missing_endpoint_is_a_clear_error():
+    from editor_tpu.parallel.rendezvous import (RendezvousParameters,
+                                                rendezvous_registry)
+    for backend, endpoint in (("c10d", ""), ("c10d", "hostonly"),
+                              ("file", "")):
+        with pytest.raises(ValueError, match="rdzv_endpoint"):
+            rendezvous_registry.create_handler(RendezvousParameters(
+                backend=backend, endpoint=endpoint, run_id="x"))

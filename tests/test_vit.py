@@ -121,3 +121,30 @@ def test_ln_matmul_matches_unfused():
     # gradients flow through the custom vjp
     grad = jax.grad(lambda xx: jnp.sum(ln_matmul(xx, w, b, g, bb, 1e-6)))(x)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+@pytest.mark.parametrize("skip", [1, 3, 7])
+def test_remat_skip_last_matches_plain(small_cfg, skip):
+    """REMAT_SKIP_LAST splits the scan but must not change values — and
+    skip >= depth means NO remat'd layers (regression: it used to silently
+    remat everything). Gradients must match the un-remat'd model too."""
+    import dataclasses
+    cfg = dataclasses.replace(small_cfg, drop_path_rate=0.0)
+    cfg_r = dataclasses.replace(cfg, remat=True, remat_skip_last=skip)
+    key = jax.random.PRNGKey(1)
+    params = V.vit_init(key, cfg)
+    x = jax.random.normal(key, (2, 64, 32, 3))
+    cam = jnp.array([1, 2])
+
+    def loss(p, c):
+        t, _ = V.vit_apply(p, x, c, camera_id=cam)
+        return jnp.sum(t ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for kp, (a, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=str(kp[0]))
