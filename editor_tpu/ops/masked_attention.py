@@ -94,12 +94,14 @@ def _qkv_masked_full_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill):
         # row-max-stabilized: filled entries exp to exactly 0 whenever the
         # row has any valid key; fully-masked rows get uniform probs that
         # the mq re-mask zeroes. denom >= 1 (max element exps to 1).
+        # Lazy normalization: the row scale multiplies the [*, N, D]
+        # output, not the [*, N, N] probs.
         e = jnp.exp(l - jnp.max(l, axis=-1)[:, :, None])
         rw = mq / jnp.sum(e, axis=-1)
-        p = (e * rw[:, :, None]).astype(v.dtype)
-        o_ref[:, :, h * D:(h + 1) * D] = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        o_ref[:, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
+            e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+            * rw[:, :, None]).astype(o_ref.dtype)
 
 
 def _qkv_masked_full_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale,
@@ -127,6 +129,8 @@ def _qkv_masked_full_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale,
             gh, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)    # [g, N, N]
         r0 = jnp.sum(dat * e, axis=-1) * inv       # Σ_j dattn_j p_j (pure rows)
+        # (eager attn here: the lazy-norm variant measured SLOWER for the
+        # backward — 3.25 -> 3.70 ms at N=88 — while winning in the forward)
         dl = (attn * (dat - r0[:, :, None]) * scale).astype(blk.dtype)
         ab = attn.astype(blk.dtype)
         dv = jax.lax.dot_general(
@@ -240,20 +244,21 @@ def _qkv_masked_kernel(qkv_ref, m_ref, o_ref, *, scale, H, D, fill,
         denom = ecs[0] + sum(ecs[1:])
         for ep in eps:
             denom = denom + jnp.sum(ep, axis=-1)
-        # fold the post-softmax query-row re-mask into the normalization
+        # fold the post-softmax query-row re-mask into the normalization;
+        # lazy normalization: the [*, N, P] probs never get scaled — the
+        # accumulated [*, N, D] output does
         rw = mq / denom                                   # [g, N]
         acc = None
         for t in range(n_tiles):
-            pp = (eps[t] * rw[:, :, None]).astype(v.dtype)
             vp = v[:, t * tile + 1:(t + 1) * tile, :]
             part = jax.lax.dot_general(
-                pp, vp, (((2,), (1,)), ((0,), (0,))),
+                eps[t].astype(v.dtype), vp, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            pc = ecs[t] * rw
-            part = part + pc[:, :, None] * (
+            part = part + ecs[t][:, :, None] * (
                 v[:, t * tile:t * tile + 1, :].astype(jnp.float32))
             acc = part if acc is None else acc + part
-        o_ref[:, :, h * D:(h + 1) * D] = acc.astype(o_ref.dtype)
+        o_ref[:, :, h * D:(h + 1) * D] = (
+            acc * rw[:, :, None]).astype(o_ref.dtype)
 
 
 def _pallas_masked_from_qkv(qkv: Array, mask: Array, num_heads: int,
@@ -349,7 +354,8 @@ def _qkv_masked_bwd_kernel(qkv_ref, m_ref, g_ref, dqkv_ref, *, scale, H, D,
             datcs.append(datc)
             r0 = r0 + jnp.sum(dat * eps[t], axis=-1) + datc * ecs[t]
         r0 = r0 * inv              # Σ_j dattn_j p_j
-        # --- dl = attn ∘ (dattn - r0); dq/dk/dv ---
+        # --- dl = attn ∘ (dattn - r0); dq/dk/dv (eager attn: the lazy-norm
+        # variant measured no faster for the tiled backward) ---
         dq = None
         for t in range(n_tiles):
             attn_p = eps[t] * rw[:, :, None]

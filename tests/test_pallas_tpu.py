@@ -45,6 +45,33 @@ def test_attention_probs_split_matches_xla():
                                np.asarray(rpc, np.float32), atol=1e-2)
 
 
+def test_attention_extreme_logits_finite_and_correct():
+    """Row-max stabilization regression: |logits| in the thousands must not
+    overflow fp32 exp (the XLA softmax oracle is stabilized; the kernels
+    must match it, not NaN)."""
+    from editor_tpu.ops.fused_attention import (_pallas_attention_qkv,
+                                                _pallas_attention_qkv_bwd,
+                                                _xla_attention_qkv)
+    qkv = (_rand((4, 129, 3 * C), 30) * 30.0).astype(jnp.bfloat16)
+    ref = _xla_attention_qkv(qkv, H, SCALE, with_probs=False)
+    got = _pallas_attention_qkv(qkv, H, SCALE, with_probs=False)
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+    # outputs are O(|v|) = O(30/ulp-of-bf16-at-64 = 0.5): compare scaled
+    sc = max(float(jnp.max(jnp.abs(ref).astype(jnp.float32))), 1e-6)
+    np.testing.assert_allclose(np.asarray(got, np.float32) / sc,
+                               np.asarray(ref, np.float32) / sc, atol=1e-2)
+    g = _rand((4, 129, C), 31)
+    _, vjp = jax.vjp(
+        lambda t: _xla_attention_qkv(t, H, SCALE, with_probs=False),
+        qkv.astype(jnp.float32))
+    (refg,) = vjp(g.astype(jnp.float32))
+    gotg = _pallas_attention_qkv_bwd(qkv, g, H, SCALE)
+    assert np.isfinite(np.asarray(gotg, np.float32)).all()
+    sc = max(float(jnp.max(jnp.abs(refg))), 1e-6)
+    np.testing.assert_allclose(np.asarray(gotg, np.float32) / sc,
+                               np.asarray(refg) / sc, atol=1e-2)
+
+
 def test_attention_bwd_matches_xla_vjp():
     from editor_tpu.ops.fused_attention import (_pallas_attention_qkv_bwd,
                                                 _xla_attention_qkv)
@@ -119,3 +146,47 @@ def test_rollout_chain_matches_full_chain():
     split = rollout_from_split_probs(probs[..., 1:], probs[..., 0])
     np.testing.assert_allclose(np.asarray(split), np.asarray(full),
                                atol=5e-3)
+
+
+def test_kernel_probs_feed_rollout_real_contract():
+    """End-to-end probs contract: the attention kernel's split spill fed
+    through the Pallas rollout chain must equal the normalized full-map
+    chain oracle."""
+    from editor_tpu.ops.fused_attention import (_xla_attention_qkv,
+                                                attention_from_qkv_probs)
+    from editor_tpu.ops.rollout import (rollout_from_probs,
+                                        rollout_from_split_probs)
+    L = 3
+    qkvs = [_rand((4, 129, 3 * C), 20 + i) for i in range(L)]
+    fulls = []
+    for qkv in qkvs:
+        _, (pp, pc) = _xla_attention_qkv(qkv, H, SCALE, with_probs=True)
+        fulls.append(jnp.concatenate(
+            [pc[..., None], pp], -1).astype(jnp.float32))
+    full = rollout_from_probs(jnp.stack(fulls))
+    pairs = [attention_from_qkv_probs(qkv, H, SCALE)[1] for qkv in qkvs]
+    split = rollout_from_split_probs(
+        jnp.stack([t[0] for t in pairs]),
+        jnp.stack([t[1] for t in pairs]))
+    np.testing.assert_allclose(np.asarray(split), np.asarray(full),
+                               atol=7e-3)
+
+
+def test_masked_attention_extreme_logits_finite(N=264):
+    """Stabilization regression for the masked kernels (fwd + bwd)."""
+    from editor_tpu.ops.masked_attention import (_pallas_masked_full,
+                                                 _pallas_masked_full_bwd,
+                                                 _xla_masked_from_qkv)
+    qkv = (_rand((4, N, 3 * C), 40) * 30.0).astype(jnp.bfloat16)
+    g = _rand((4, N, C), 41)
+    m = (jax.random.uniform(jax.random.PRNGKey(42), (4, N)) < 0.5)
+    m = (m | (jnp.arange(N) % 88 == 0)[None, :]).astype(jnp.float32)
+    ref = _xla_masked_from_qkv(qkv, m, H, SCALE, -65504.0)
+    got = _pallas_masked_full(qkv, m, H, SCALE, -65504.0)
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+    # outputs are O(|v|) = O(30): bf16 ulp at 64 is 0.5 — compare scaled
+    sc = max(float(jnp.max(jnp.abs(ref).astype(jnp.float32))), 1e-6)
+    np.testing.assert_allclose(np.asarray(got, np.float32) / sc,
+                               np.asarray(ref, np.float32) / sc, atol=1e-2)
+    gotg = _pallas_masked_full_bwd(qkv, m, g, H, SCALE, -65504.0)
+    assert np.isfinite(np.asarray(gotg, np.float32)).all()
