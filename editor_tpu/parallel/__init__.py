@@ -32,3 +32,7 @@ from editor_tpu.parallel.rendezvous import (  # noqa: F401
     monitored_barrier,
     rendezvous_registry,
 )
+from editor_tpu.parallel.ring import (  # noqa: F401
+    ring_attention,
+    ulysses_attention,
+)
