@@ -36,3 +36,9 @@ from editor_tpu.parallel.ring import (  # noqa: F401
     ring_attention,
     ulysses_attention,
 )
+from editor_tpu.parallel.moe import (  # noqa: F401
+    MoEParams,
+    moe_ffn,
+    moe_ffn_dense,
+    moe_init,
+)
