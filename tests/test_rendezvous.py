@@ -1,6 +1,7 @@
 """Store-based dynamic rendezvous (reference elastic/rendezvous/) tests."""
 
 import os
+import socket
 import threading
 import time
 
@@ -10,7 +11,13 @@ from editor_tpu.parallel.rendezvous import DynamicRendezvous, TCPStore
 
 
 def _port():
-    return 29800 + (os.getpid() + int(time.time() * 10)) % 600
+    # OS-assigned free port: the old time-derived scheme collided whenever
+    # two tests started exactly 60s (mod) apart — a real intermittent flake
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
 
 
 def test_tcp_store_ops():
@@ -78,22 +85,24 @@ def test_scale_up_waits_then_rejoins_bigger_world():
         ta.start(); tb.start(); ta.join(30); tb.join(30)
         assert res["a"][2] == res["b"][2] == 2
 
-        # late third node parks in the waiting set
+        # late third node parks in the waiting set (wide timeouts: under a
+        # fully-loaded suite host the polling threads can starve for tens
+        # of seconds — this is a protocol test, not a latency test)
         c = mk("c")
-        tc = threading.Thread(target=lambda: res.update(c=c.next_rendezvous(30)))
+        tc = threading.Thread(target=lambda: res.update(c=c.next_rendezvous(120)))
         tc.start()
-        deadline = time.time() + 10
+        deadline = time.time() + 30
         while a.num_nodes_waiting() == 0 and time.time() < deadline:
             time.sleep(0.05)
         assert a.num_nodes_waiting() >= 1
 
         # agent reaction: tear down the round; all three re-join
         a.restart_round()
-        t2a = threading.Thread(target=lambda: res.update(a2=a.next_rendezvous(30)))
-        t2b = threading.Thread(target=lambda: res.update(b2=b.next_rendezvous(30)))
+        t2a = threading.Thread(target=lambda: res.update(a2=a.next_rendezvous(120)))
+        t2b = threading.Thread(target=lambda: res.update(b2=b.next_rendezvous(120)))
         t2a.start(); t2b.start()
         for t in (t2a, t2b, tc):
-            t.join(30)
+            t.join(150)
         assert res["a2"][0] == res["b2"][0] == res["c"][0] == 1  # round bumped
         assert res["a2"][2] == res["b2"][2] == res["c"][2] == 3
         assert sorted([res["a2"][1], res["b2"][1], res["c"][1]]) == [0, 1, 2]
@@ -312,7 +321,7 @@ def test_tcp_store_client_retries_until_server_up():
     """A joiner that dials in before the server's launcher has bound the
     port must poll (the reference TCPStore retries until timeout), not die
     with ConnectionRefusedError."""
-    port = _port() + 601
+    port = _port()
     client = TCPStore("127.0.0.1", port, connect_timeout=10.0)
     holder = {}
 
@@ -336,7 +345,7 @@ def test_c10d_auto_server_election():
     serves, the co-hosted second gets EADDRINUSE and joins as a client."""
     from editor_tpu.parallel.rendezvous import (RendezvousParameters,
                                                 rendezvous_registry)
-    port = _port() + 602
+    port = _port()
     mk = lambda: rendezvous_registry.create_handler(RendezvousParameters(
         backend="c10d", endpoint=f"127.0.0.1:{port}", run_id="auto_run",
         min_nodes=2, max_nodes=2))
