@@ -11,9 +11,14 @@ import traceback
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
+# the ambient sitecustomize pins the tunneled TPU platform even with
+# JAX_PLATFORMS=cpu in the env — force CPU through jax.config (the f64
+# oracle path; same bootstrap as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
 import torch  # noqa: E402
