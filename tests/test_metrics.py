@@ -143,3 +143,52 @@ def test_sharded_cmc_map_matches_unsharded():
                                      jnp.asarray(remove), mesh)
     np.testing.assert_allclose(cmc_sh, cmc_ref, atol=1e-6)
     np.testing.assert_allclose(map_sh, map_ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz: the vectorized protocol == the per-query loop on
+# arbitrary shapes/cardinalities (hypothesis; unique distances avoid
+# argsort tie ambiguity between the two implementations)
+# ---------------------------------------------------------------------------
+
+from hypothesis import assume, given, settings, strategies as st  # noqa: E402
+
+
+@settings(deadline=None, max_examples=40)
+@given(q=st.integers(1, 12), g=st.integers(2, 60),
+       npids=st.integers(1, 8), ncams=st.integers(1, 4),
+       seed=st.integers(0, 2**31 - 1), rank=st.integers(1, 60))
+def test_cmc_map_fuzz_matches_naive(q, g, npids, ncams, seed, rank):
+    rng = np.random.RandomState(seed)
+    distmat = (rng.permutation(q * g).reshape(q, g) / (q * g)
+               ).astype(np.float32)
+    q_pids = rng.randint(0, npids, q)
+    g_pids = rng.randint(0, npids, g)
+    q_camids = rng.randint(0, ncams, q)
+    g_camids = rng.randint(0, ncams, g)
+    # at least one query must keep a valid same-pid match after the
+    # same-(pid,camid) discard — otherwise both implementations reject
+    same = q_pids[:, None] == g_pids[None, :]
+    removed = same & (q_camids[:, None] == g_camids[None, :])
+    assume((same & ~removed).any())
+    # CMC ranks past a query's kept-gallery length are undefined in the
+    # reference protocol (its per-query rows would go ragged; real
+    # galleries are always ≫ max_rank) — compare only well-defined ranks
+    kept = (~removed).sum(axis=1)
+    rank = min(rank, int(kept.min()))
+    assume(rank >= 1)
+    cmc, mAP = cmc_map(distmat, q_pids, g_pids, q_camids, g_camids,
+                       max_rank=rank)
+    cmc_ref, map_ref = naive_eval(distmat, q_pids, g_pids, q_camids,
+                                  g_camids, max_rank=rank)
+    np.testing.assert_allclose(cmc, cmc_ref, atol=1e-5)
+    assert abs(mAP - map_ref) < 1e-5
+
+
+def test_cmc_map_rejects_all_invalid_queries():
+    # every query's only same-pid gallery entry shares its camid → the
+    # protocol removes everything; reference would divide by zero, we raise
+    distmat = np.asarray([[0.1, 0.9]], np.float32)
+    with pytest.raises(RuntimeError):
+        cmc_map(distmat, q_pids=np.asarray([1]), g_pids=np.asarray([1, 2]),
+                q_camids=np.asarray([0]), g_camids=np.asarray([0, 0]))
