@@ -66,10 +66,12 @@ def conv2d(cin: int, cout: int, k, stride=1, padding=0, groups: int = 1,
     return Module(init, apply)
 
 
-def bn2d(c: int, affine: bool = True, bias: bool = True) -> Module:
+def bn2d(c: int, affine: bool = True, bias: bool = True,
+         eps: float = 1e-5) -> Module:
     """bias=False models torch BNs whose bias is requires_grad_(False)
     (initialized zero, frozen — e.g. CAL's BN2d/bottleneck): numerically
-    identical, excluded from the trainable count."""
+    identical, excluded from the trainable count. eps=0.001 matches the
+    tensorflow-derived nets (reference inceptionv4.py:51, nasnet.py:131)."""
     def init(key):
         p = {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
         if affine:
@@ -78,7 +80,7 @@ def bn2d(c: int, affine: bool = True, bias: bool = True) -> Module:
                 p["b"] = jnp.zeros((c,))
         return p
 
-    def apply(p, x, eps=1e-5):
+    def apply(p, x, eps=eps):
         # promote: f32 stats math under bf16 inputs, exact under f64 (golden)
         ct = jnp.promote_types(x.dtype, jnp.float32)
         inv = jax.lax.rsqrt(p["var"].astype(ct) + eps)

@@ -17,8 +17,8 @@ from editor_tpu.models.zoo.common import (
 
 
 def _bc(cin, cout, k, s=1, p=0):
-    """BasicConv2d."""
-    return seq(conv2d(cin, cout, k, s, p), bn2d(cout), relu())
+    """BasicConv2d (BN eps=0.001, reference inceptionv4.py:51)."""
+    return seq(conv2d(cin, cout, k, s, p), bn2d(cout, eps=1e-3), relu())
 
 
 def _residual_scaled(branches: Module, proj: Module, scale: float,

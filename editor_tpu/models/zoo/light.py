@@ -132,9 +132,13 @@ def _shuffle_v2_unit(cin, cout, stride) -> Module:
 
     def init(key):
         k1, k2 = jax.random.split(key)
-        p = {"right": right.init(k1)}
+        # build order matches torch registration order (branch1 = left
+        # before branch2 = right, shufflenetv2.py:51-86) so the ordered
+        # structural checkpoint import zips correctly
+        p = {}
         if left is not None:
             p["left"] = left.init(k2)
+        p["right"] = right.init(k1)
         return p
 
     def apply(p, x):

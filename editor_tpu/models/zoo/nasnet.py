@@ -28,7 +28,7 @@ def _crop_tl(x):
 
 
 def _bn(c):
-    return bn2d(c)  # eps difference (1e-3) does not affect params
+    return bn2d(c, eps=1e-3)  # reference nasnet.py:131
 
 
 def _sep_conv(cin, cout, k, s, p):
@@ -279,10 +279,13 @@ def nasnetamobile(num_classes, stem_filters=32, penultimate_filters=1056,
 
     def init(key):
         ks = jax.random.split(key, len(cells) + 4)
+        # torch registers last_linear AFTER the cells (nasnet.py __init__):
+        # keep that key order for the ordered structural checkpoint import
         p = {"conv0": conv0.init(ks[0]), "stem0": stem0.init(ks[1]),
-             "stem1": stem1.init(ks[2]), "head": head.init(ks[3])}
+             "stem1": stem1.init(ks[2])}
         for (n, c), k in zip(cells.items(), ks[4:]):
             p[n] = c.init(k)
+        p["head"] = head.init(ks[3])
         return p
 
     def apply(p, x):

@@ -84,22 +84,28 @@ def mudeep(num_classes) -> Module:
                linear(768, num_classes))
 
     def init(key):
-        ks = jax.random.split(key, 4 + len(streams))
+        ks = jax.random.split(key, 9)
+        # fusion saliency weights as FOUR separate leaves like the torch
+        # registration (Fusion.a1..a4, mudeep.py:133-136) so the ordered
+        # structural checkpoint import zips 1:1; NHWC broadcast shape
         return {"b1": block1.init(ks[0]), "b2": block2.init(ks[1]),
                 "b3": block3.init(ks[2]),
                 "streams": [s.init(k) for s, k in zip(streams, ks[3:7])],
-                "fusion_a": jax.random.uniform(ks[7], (4, 1, 1, 1, 256)),
-                "head": head.init(ks[3])}
+                "fusion": {f"a{i + 1}": jax.random.uniform(k, (1, 1, 1, 256))
+                           for i, k in enumerate(jax.random.split(ks[7], 4))},
+                "head": head.init(ks[8])}
 
     def apply(p, x):
         y = block3.apply(p["b3"], block2.apply(p["b2"],
                                                block1.apply(p["b1"], x)))
         acc = None
         for i, (s, sp) in enumerate(zip(streams, p["streams"])):
-            t = s.apply(sp, y) * p["fusion_a"][i].astype(y.dtype)
+            t = s.apply(sp, y) * p["fusion"][f"a{i + 1}"].astype(y.dtype)
             acc = t if acc is None else acc + t
         v = avgpool(4, 4).apply({}, acc)
-        v = v.reshape(v.shape[0], -1)
+        # torch flattens NCHW (x.view(B, -1), mudeep.py:194): match its
+        # C-major element order so the imported fc weight lines up
+        v = jnp.transpose(v, (0, 3, 1, 2)).reshape(v.shape[0], -1)
         return head.apply(p["head"], v)
 
     return Module(init, apply)
@@ -209,15 +215,21 @@ def hacnn(num_classes, nchannels=(128, 256, 384), feat_dim=768,
 
     def init(key):
         ks = jax.random.split(key, 12)
-        p = {"conv": conv0.init(ks[0]),
-             "inc": [m.init(k) for m, k in zip(inc, ks[1:4])],
-             "soft": [m.init(k) for m, k in zip(soft, ks[4:7])],
-             "hard": [m.init(k) for m, k in zip(hard, ks[7:10])],
-             "fc_global": fc_global.init(ks[10]),
-             "cls_global": cls_global.init(ks[11])}
+        # key order mirrors torch registration (hacnn.py:225-266:
+        # conv, inception1, ha1(soft+hard), inception2, ha2, inception3,
+        # ha3, fc_global, classifier_global, local_conv1..3, fc_local,
+        # classifier_local) for the ordered structural checkpoint import
+        p = {"conv": conv0.init(ks[0])}
+        for b in range(3):
+            p[f"inc{b}"] = inc[b].init(ks[1 + b])
+            p[f"soft{b}"] = soft[b].init(ks[4 + b])
+            p[f"hard{b}"] = hard[b].init(ks[7 + b])
+        p["fc_global"] = fc_global.init(ks[10])
+        p["cls_global"] = cls_global.init(ks[11])
         if learn_region:
             ks2 = jax.random.split(ks[11], 5)
-            p["local"] = [m.init(k) for m, k in zip(local, ks2[:3])]
+            for b in range(3):
+                p[f"local{b}"] = local[b].init(ks2[b])
             p["fc_local"] = fc_local.init(ks2[3])
             p["cls_local"] = cls_local.init(ks2[4])
         return p
@@ -231,10 +243,10 @@ def hacnn(num_classes, nchannels=(128, 256, 384), feat_dim=768,
         locals_: List[Array] = [None] * 4
         prev = x
         for b in range(3):
-            g = inc[b].apply(p["inc"][b], prev if b == 0 else g_out)
-            attn = soft[b].apply(p["soft"][b], g)
+            g = inc[b].apply(p[f"inc{b}"], prev if b == 0 else g_out)
+            attn = soft[b].apply(p[f"soft{b}"], g)
             pooled = jnp.mean(g, axis=(1, 2))
-            theta = jnp.tanh(hard[b].apply(p["hard"][b], pooled))
+            theta = jnp.tanh(hard[b].apply(p[f"hard{b}"], pooled))
             theta = theta.reshape(-1, 4, 2)
             g_new = g * attn
             if learn_region:
@@ -245,7 +257,7 @@ def hacnn(num_classes, nchannels=(128, 256, 384), feat_dim=768,
                     crop = _resize_bilinear_ac(crop, sizes[b])
                     if b > 0:
                         crop = crop + locals_[r]
-                    locals_[r] = local[b].apply(p["local"][b], crop)
+                    locals_[r] = local[b].apply(p[f"local{b}"], crop)
             g_out = g_new
         v_g = fc_global.apply(p["fc_global"], jnp.mean(g_out, axis=(1, 2)))
         if not learn_region:
@@ -296,7 +308,9 @@ def _mlfn_block(cin, cout, stride, fsm_channels, groups=32) -> Module:
         ss = jnp.repeat(s, n, axis=-1)  # [B,1,1,G*n] group-major
         y = fm3.apply(p["fm3"], y * ss)
         sc = down.apply(p["down"], x) if down is not None else x
-        return jax.nn.relu(y) + sc, s.reshape(B, -1)
+        # relu(bn3) first, then relu again on the residual sum
+        # (reference mlfn.py:88-96: x = relu(fm_bn3(..)); relu(residual + x))
+        return jax.nn.relu(sc + jax.nn.relu(y)), s.reshape(B, -1)
 
     return Module(init, apply)
 
@@ -411,36 +425,49 @@ def cal(num_classes, in_planes=768, M=8) -> Module:
     bns = [bn2d(ch, bias=False) for ch in chans]
     ses = [_cal_se(ch, r) for ch, r in zip(chans, (8, 32, 64, 128, 256))]
     matts = [_multi_head_att(ch, ch // 2) for ch in chans]
-    attn_conv = seq(conv2d(2048, M, 1), bn2d(M), relu())
+    # BasicConv2d: BN eps=0.001 (reference cal.py:140-151)
+    attn_conv = seq(conv2d(2048, M, 1), bn2d(M, eps=1e-3), relu())
     cls_bap = linear(in_planes * M, in_planes, bias=False)
     bottleneck = bn2d(in_planes, bias=False)
     head = linear(in_planes, num_classes, bias=False)
 
     def init(key):
-        ks = jax.random.split(key, 24)
-        return {
-            "stem": stem.init(ks[0]),
-            "stages": [s.init(k) for s, k in zip(stages, ks[1:5])],
-            "bns": [b.init(k) for b, k in zip(bns, ks[5:10])],
-            "ses": [s.init(k) for s, k in zip(ses, ks[10:15])],
-            "matts": [m.init(k) for m, k in zip(matts, ks[15:20])],
-            "attn": attn_conv.init(ks[20]), "cls_bap": cls_bap.init(ks[21]),
-            "bottleneck": bottleneck.init(ks[22]), "head": head.init(ks[23]),
-        }
+        ks = iter(jax.random.split(key, 24))
+        # key insertion order mirrors torch registration order after the
+        # base/base_i alias drop (cal.py:276-301: base_1, BN1, att1,
+        # att_s1, base_2, …, attentions, bottleneck, classifier,
+        # classifier_bap) so the ordered structural import zips 1:1
+        p = {"stem": stem.init(next(ks))}
+        for i in range(5):
+            p[f"bn{i}"] = bns[i].init(next(ks))
+            p[f"se{i}"] = ses[i].init(next(ks))
+            p[f"matt{i}"] = matts[i].init(next(ks))
+            if i < 4:
+                p[f"stage{i}"] = stages[i].init(next(ks))
+        p["attn"] = attn_conv.init(next(ks))
+        p["bottleneck"] = bottleneck.init(next(ks))
+        p["head"] = head.init(next(ks))
+        p["cls_bap"] = cls_bap.init(next(ks))
+        return p
 
     def apply(p, x):
         y = stem.apply(p["stem"], x)
         for i in range(5):
             if i > 0:
-                y = stages[i - 1].apply(p["stages"][i - 1], y)
-            y = matts[i].apply(p["matts"][i], y)
-            y = bns[i].apply(p["bns"][i], y)
-            y = y * ses[i].apply(p["ses"][i], y)
+                y = stages[i - 1].apply(p[f"stage{i - 1}"], y)
+            y = matts[i].apply(p[f"matt{i}"], y)
+            y = bns[i].apply(p[f"bn{i}"], y)
+            y = y * ses[i].apply(p[f"se{i}"], y)
         att = attn_conv.apply(p["attn"], y)                 # [B, H, W, M]
         feats = y[..., :in_planes]                          # see docstring
         HW = att.shape[1] * att.shape[2]
         mat = jnp.einsum("bhwm,bhwc->bmc", att, feats) / HW
-        v = cls_bap.apply(p["cls_bap"], mat.reshape(x.shape[0], -1))
+        mat = mat.reshape(x.shape[0], -1)
+        # BAP sign-sqrt + L2 normalize (reference cal.py:197-201)
+        mat = jnp.sign(mat) * jnp.sqrt(jnp.abs(mat) + 1e-12)
+        mat = mat / jnp.maximum(jnp.linalg.norm(mat, axis=-1, keepdims=True),
+                                1e-12)
+        v = cls_bap.apply(p["cls_bap"], mat)
         feat = bottleneck.apply(p["bottleneck"], v)
         return head.apply(p["head"], feat)
 

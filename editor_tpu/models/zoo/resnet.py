@@ -59,9 +59,11 @@ def _bottleneck(cin, planes, stride=1, groups=1, base_width=64,
     down = None
     if stride != 1 or cin != planes * 4:
         down = seq(conv2d(cin, planes * 4, 1, stride), bn2d(planes * 4))
-    block = residual(body, down)
     if not post_in:
-        return block
+        return residual(body, down)
+    # IBN-b: IN on the PRE-relu residual sum, then one relu
+    # (resnet_ibn_b.py:104-110: out += residual; out = IN(out); relu(out))
+    block = residual(body, down, post=lambda y: y)
     post = in2d(planes * 4, affine=True)
 
     def init(key):
@@ -69,8 +71,7 @@ def _bottleneck(cin, planes, stride=1, groups=1, base_width=64,
         return {"blk": block.init(k1), "IN": post.init(k2)}
 
     def apply(p, x):
-        # IBN-b: IN applied to the pre-relu sum (resnet_ibn_b.py:104-110)
-        y = block.apply(p["blk"], x)  # note: relu already applied
+        y = block.apply(p["blk"], x)  # pre-relu sum
         return jax.nn.relu(post.apply(p["IN"], y))
 
     return Module(init, apply)

@@ -37,9 +37,12 @@ def _xception_block(cin, cout, reps, stride=1, start_with_relu=True,
 
     def init(key):
         k1, k2 = jax.random.split(key)
-        p = {"rep": body.init(k1)}
+        # torch registers skip/skipbn BEFORE rep (xception.py:74-130);
+        # match that order for the ordered structural checkpoint import
+        p = {}
         if skip is not None:
             p["skip"] = skip.init(k2)
+        p["rep"] = body.init(k1)
         return p
 
     def apply(p, x):

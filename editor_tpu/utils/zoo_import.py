@@ -91,6 +91,10 @@ def _canonical_stream(
                 a = a.transpose(2, 3, 1, 0)  # OIHW -> HWIO
             elif leaf == "weight" and a.ndim == 2:
                 a = a.T  # [out, in] -> [in, out]
+            elif leaf not in ("weight", "bias") and a.ndim == 4:
+                # bare nn.Parameter broadcast over feature maps (e.g.
+                # MuDeep Fusion.a1..a4, mudeep.py:133-136): NCHW -> NHWC
+                a = a.transpose(0, 2, 3, 1)
             yield full(leaf), a
 
 

@@ -45,7 +45,11 @@ def flat(out):
 
 def probe(zoo_t, name):
     nc, hw = 7, HW.get(name, (64, 32))
-    m = zoo_t.build_model(name, nc, pretrained=False, use_gpu=False).double()
+    # hacnn's STN hardcodes float32 tensors (hacnn.py:167,275-300) — its
+    # torch forward cannot run at f64; probe it at f32 instead
+    tdtype = torch.float32 if name == "hacnn" else torch.float64
+    jdtype = jnp.float32 if name == "hacnn" else jnp.float64
+    m = zoo_t.build_model(name, nc, pretrained=False, use_gpu=False).to(tdtype)
     m.train()
     for mod in m.modules():
         if isinstance(mod, (torch.nn.modules.batchnorm._BatchNorm,
@@ -59,16 +63,35 @@ def probe(zoo_t, name):
                 mod.running_mean.normal_(0, 0.5, generator=g)
                 mod.running_var.uniform_(0.5, 2.0, generator=g)
 
+    if name == "cal":
+        # the reference forward is unrunnable as shipped (BAP emits
+        # M*2048-d but classifier_bap expects M*768-d — cal.py:316,360);
+        # apply the SAME documented repair as the DSL (slice the trunk to
+        # in_planes channels before BAP) so both sides compute one function
+        bap_fwd = m.bap.forward
+        m.bap.forward = lambda f, a, counterfactual=False: bap_fwd(
+            f[:, :768], a, counterfactual)
+        # eval: the train branch returns a counterfactual tuple whose hat
+        # term uses RANDOM fake attention (cal.py:205-211) — not comparable
+        m.eval()
+
     # frozen all-zero params (e.g. CAL's no-shift BN biases) have no DSL slot
     skip = tuple(n for n, p in m.named_parameters()
                  if not p.requires_grad and float(p.abs().max()) == 0.0)
     params, apply = build_model(name, num_classes=nc)
-    params = load_torch_zoo_state(params, m.state_dict(), dtype=jnp.float64,
+    params = load_torch_zoo_state(params, m.state_dict(), dtype=jdtype,
                                   skip_keys=skip)
     x = np.random.RandomState(0).randn(1, *hw, 3)
     with torch.no_grad():
-        yt = flat(m(torch.from_numpy(x.transpose(0, 3, 1, 2)).double()))
-    yj = np.asarray(apply(params, jnp.asarray(x, jnp.float64)))
+        # contiguous: a transposed VIEW keeps channels-last strides, which
+        # breaks reference models that use .view (mudeep's fc flatten)
+        yt = flat(m(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))).to(tdtype)))
+    yj = np.asarray(apply(params, jnp.asarray(x, jdtype)))
+    if yt.shape != yj.shape and yt.size == yj.size:
+        # pcb: torch returns a list of per-part logits (flattened by
+        # flat()); ours stacks them [B, parts, C] — same order
+        yj = yj.reshape(yt.shape)
     if yt.shape != yj.shape:
         return f"SHAPE {yt.shape} vs {yj.shape}"
     err = np.abs(yt - yj).max() / (np.abs(yt).max() + 1e-12)
