@@ -46,8 +46,11 @@ def main(argv=None):
         from editor_tpu.utils.checkpoint import CheckpointManager
         mgr = CheckpointManager(weight, use_async=False)
         restored = mgr.restore()
-        params = restored["params"]
-        mstate = restored["model_state"]
+        # the train loop saves {"state": TrainState, "epoch": N}
+        # (engine/loop.py); bare {"params", "model_state"} also accepted
+        st = restored.get("state", restored)
+        params = st["params"]
+        mstate = st["model_state"]
         logger.info("Loaded checkpoint %s", weight)
 
     state = TrainState(params=params, opt_state=None, model_state=mstate,

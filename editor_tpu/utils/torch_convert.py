@@ -231,3 +231,91 @@ def convert_editor_from_torch(path: str, ecfg, params: dict,
             oc[ours] = jnp.asarray(sd[key])
     new_state["ocfr"] = oc
     return new_p, new_state
+
+
+def export_editor_to_torch(params: dict, state: dict, ecfg,
+                           path: Optional[str] = None) -> Dict[str, Any]:
+    """Inverse of :func:`convert_editor_from_torch`: render our EDITOR
+    params+state as a reference-layout torch state_dict (the exact key names
+    of ``EDITOR`` in reference make_model.py:85-374) so a trained editor_tpu
+    checkpoint can be loaded back into the reference torch code
+    (``model.load_state_dict`` / ``load_param``, make_model.py:144-148).
+
+    Returns the state_dict (torch tensors); also ``torch.save``\\ s it when
+    ``path`` is given. BN running stats and OCFR centers come from ``state``;
+    ``num_batches_tracked`` is emitted as 0 for torch strict-load
+    compatibility."""
+    import torch
+
+    a = lambda x: np.asarray(x)
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in _tree_to_sd(params["BACKBONE"]).items():
+        sd[f"BACKBONE.base.{k}"] = v
+
+    fb = params["FUSE_block"]
+
+    def put_ln(name, p):
+        sd[f"FUSE_block.{name}.weight"] = a(p["w"])
+        sd[f"FUSE_block.{name}.bias"] = a(p["b"])
+
+    def put_nobias(name, p):
+        sd[f"FUSE_block.{name}.weight"] = a(p["w"]).T
+
+    for mod in ("R", "N", "T"):
+        put_ln(f"norm{mod}", fb[f"norm{mod}"])
+        put_ln(f"norm{mod}_", fb[f"norm{mod}_"])
+        put_nobias(f"attn{mod}.qkv", fb[f"attn{mod}"]["qkv"])
+        put_nobias(f"attn{mod}.proj", fb[f"attn{mod}"]["proj"])
+        put_nobias(f"mlp{mod}.fc1", fb[f"mlp{mod}"]["fc1"])
+        put_nobias(f"mlp{mod}.fc2", fb[f"mlp{mod}"]["fc2"])
+    put_ln("norm1", fb["norm1"])
+    put_nobias("attn1.qkv", fb["attn1"]["qkv"])
+    put_nobias("attn1.proj", fb["attn1"]["proj"])
+    put_ln("norm2", fb["norm2"])
+    put_nobias("mlp.fc1", fb["mlp"]["fc1"])
+    put_nobias("mlp.fc2", fb["mlp"]["fc2"])
+    put_ln("out_norm", fb["out_norm"])
+
+    for name in ("RGB_REDUCE", "NIR_REDUCE", "TIR_REDUCE"):
+        sd[f"{name}.weight"] = a(params[name]["w"]).T
+        if "b" in params[name]:
+            sd[f"{name}.bias"] = a(params[name]["b"])
+    sd["FUSE_HEAD.weight"] = a(params["FUSE_HEAD"]["w"]).T
+    sd["BACKBONE_HEAD.weight"] = a(params["BACKBONE_HEAD"]["w"]).T
+
+    def put_bn(name):
+        sd[f"{name}.weight"] = a(params[name]["w"])
+        sd[f"{name}.bias"] = a(params[name]["b"])
+        sd[f"{name}.running_mean"] = a(state["bn"][name]["mean"])
+        sd[f"{name}.running_var"] = a(state["bn"][name]["var"])
+        sd[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    put_bn("FUSE_BN")
+    put_bn("BACKBONE_BN")
+    if getattr(ecfg, "al", False) and "AL_HEAD" in params:
+        sd["AL_HEAD.weight"] = a(params["AL_HEAD"]["w"]).T
+        put_bn("AL_BN")
+
+    for ours, theirs in (("rgb", "RGB"), ("nir", "NIR"), ("tir", "TIR")):
+        if ours in state.get("ocfr", {}):
+            sd[f"FUSE_block.memory_cls.{theirs}_centers"] = a(
+                state["ocfr"][ours])
+
+    # FREQ_INDEX haar filter buffers (constant taps, pytorch_wavelets
+    # DWTForward/Inverse registration — reference dwt/transform2d.py:22-56):
+    # f32(1/sqrt(2)) upcast like the torch module, so strict-load roundtrips
+    dt = np.asarray(params["BACKBONE"]["cls_token"]).dtype
+    s = np.float32(1.0 / np.sqrt(2.0)).astype(dt)
+    lo, hi = np.array([s, s], dt), np.array([s, -s], dt)
+    for mod, (g0, g1) in (("DWT", ("h0", "h1")), ("IDWT", ("g0", "g1"))):
+        sd[f"FREQ_INDEX.{mod}.{g0}_col"] = lo.reshape(1, 1, 2, 1)
+        sd[f"FREQ_INDEX.{mod}.{g0}_row"] = lo.reshape(1, 1, 1, 2)
+        sd[f"FREQ_INDEX.{mod}.{g1}_col"] = hi.reshape(1, 1, 2, 1)
+        sd[f"FREQ_INDEX.{mod}.{g1}_row"] = hi.reshape(1, 1, 1, 2)
+
+    # copy: jax-backed numpy views are read-only, torch wants writable
+    out = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+           for k, v in sd.items()}
+    if path is not None:
+        torch.save(out, path)
+    return out

@@ -107,6 +107,67 @@ def test_cli_test_random_weights(tiny_root, tmp_path):
     assert 0.0 <= mAP <= 1.0
 
 
+def test_cli_test_restores_train_checkpoint(tiny_root, tmp_path):
+    """Regression: the eval CLI must accept the {'state': TrainState,
+    'epoch': N} payload the training loop writes (engine/loop.py) — not just
+    a bare params dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from editor_tpu.config import load_config
+    from editor_tpu.engine.train import TrainState
+    from editor_tpu.models.editor import editor_config_from, editor_init
+    from editor_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = load_config(None, [
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "MODEL.FREQUENCY_KEEP", "3",
+    ])
+    ecfg = editor_config_from(cfg, 4, 2)
+    params, mstate = editor_init(jax.random.PRNGKey(1), ecfg)
+    state = TrainState(params=params, opt_state=None, model_state=mstate,
+                       rng=jax.random.PRNGKey(0),
+                       step=jnp.zeros((), jnp.int32))
+    ckpt = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt, use_async=False)
+    mgr.save(1, {"state": state, "epoch": 1})
+    mgr.close()
+
+    from editor_tpu.cli.test import main
+    cmc, mAP = main([
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "INPUT.SIZE_TEST", "[64, 32]",
+        "DATASETS.NAMES", "RGBNT201",
+        "DATASETS.ROOT_DIR", tiny_root,
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TEST.IMS_PER_BATCH", "8",
+        "TEST.WEIGHT", ckpt,
+        "OUTPUT_DIR", str(tmp_path / "out_restore"),
+    ])
+    assert np.isfinite(mAP)
+
+    # the torch-export CLI consumes the same checkpoint layout
+    from editor_tpu.cli.export import main as export_main
+    out_pth = str(tmp_path / "exported.pth")
+    sd = export_main([
+        "--out", out_pth, "--num_classes", "4", "--camera_num", "2",
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TEST.WEIGHT", ckpt,
+    ])
+    assert osp.exists(out_pth)
+    assert "BACKBONE.base.cls_token" in sd
+    assert "FUSE_block.out_norm.weight" in sd
+    assert "BACKBONE_BN.running_mean" in sd
+
+
 @pytest.mark.slow
 def test_cli_train_tp_mesh(tiny_root, tmp_path):
     """do_train with TPU.MESH_MODEL=2: TP shardings applied through the

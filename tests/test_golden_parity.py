@@ -632,3 +632,28 @@ def test_al_setting_matches_reference(tmp_path):
         assert _rel_err(ours_eval, feat) < 1e-4
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_export_roundtrip_to_torch(golden, tmp_path):
+    """Export our (imported) params+state back to a reference-layout torch
+    state_dict (utils/torch_convert.export_editor_to_torch) and check it
+    strict-loads into a fresh reference EDITOR with every tensor bitwise
+    equal to the original checkpoint — migration back to torch is lossless
+    (reference load path: make_model.py:144-148)."""
+    torch = golden["torch"]
+    from editor_tpu.utils.torch_convert import export_editor_to_torch
+
+    out_path = tmp_path / "exported.pth"
+    sd = export_editor_to_torch(golden["params"], golden["state"],
+                                golden["ecfg"], str(out_path))
+    orig = torch.load(golden["path"], weights_only=False)
+
+    assert sorted(orig) == sorted(sd), (
+        sorted(set(orig) ^ set(sd)))
+    for k in orig:
+        assert torch.allclose(sd[k].double(), orig[k].double(),
+                              rtol=0, atol=0), k
+
+    fresh = golden["make_ref"]()
+    loaded = torch.load(str(out_path), weights_only=False)
+    fresh.load_state_dict(loaded, strict=True)
