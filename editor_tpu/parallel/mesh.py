@@ -22,6 +22,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _arrange(devs: list, data: int, model: int) -> np.ndarray:
+    """Topology-aware device layout: 'model' (the collective-heavy axis)
+    gets ICI-adjacent chips via mesh_utils; multi-slice TPU jobs place the
+    slice boundary on 'data' so only gradient all-reduce crosses DCN
+    (hybrid mesh — the ICI/DCN recipe, NOT the reference's flat NCCL rank
+    order, distributed/distributed_c10d.py:460)."""
+    try:
+        from jax.experimental import mesh_utils
+
+        slices = {getattr(d, "slice_index", 0) for d in devs}
+        s = len(slices)
+        if s > 1 and data % s == 0:
+            return mesh_utils.create_hybrid_device_mesh(
+                (data // s, model), (s, 1), devices=devs)
+        return mesh_utils.create_device_mesh((data, model), devices=devs)
+    except Exception:  # exotic topology mesh_utils can't factor
+        return np.asarray(devs).reshape(data, model)
+
+
 def make_mesh(data: int = -1, model: int = 1,
               devices: Optional[list] = None) -> Mesh:
     """Create a ('data', 'model') mesh. data=-1 → all devices / model."""
@@ -31,8 +50,7 @@ def make_mesh(data: int = -1, model: int = 1,
         data = n // model
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devs).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+    return Mesh(_arrange(devs, data, model), axis_names=("data", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -410,3 +410,18 @@ def test_tensor_parallel_compact_tail_matches_replicated():
 
     np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
                                rtol=1e-5)
+
+
+def test_make_mesh_topology_layouts():
+    """make_mesh delegates to mesh_utils for ICI-aware ordering: every
+    factorization covers all devices exactly once with the right shape, and
+    an explicit device list still round-trips."""
+    devs = jax.devices()
+    for d, m in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        mesh = make_mesh(d, m)
+        assert mesh.devices.shape == (d, m)
+        assert {x.id for x in mesh.devices.flat} == {x.id for x in devs}
+    sub = make_mesh(2, 2, devices=devs[:4])
+    assert {x.id for x in sub.devices.flat} == {x.id for x in devs[:4]}
+    with pytest.raises(ValueError):
+        make_mesh(3, 2)
