@@ -75,9 +75,23 @@ def main(argv=None):
             run_id=args.rdzv_id,
             min_nodes=args.min_nodes or args.nnodes,
             max_nodes=args.max_nodes or args.nnodes))
-        _, node_rank, nnodes = handler.next_rendezvous(timeout=60.0)
+        store, node_rank, nnodes = handler.next_rendezvous(timeout=60.0)
         print(f"rendezvous[{args.rdzv_backend}] settled: "
               f"node {node_rank}/{nnodes}")
+        # node ranks are random-uuid-ordered, so the elected rank-0 node is
+        # generally NOT the host named by --master_addr; the JAX coordinator
+        # (parallel/multihost.py) must live on rank 0 — publish its address
+        # through the store (round-scoped key: reused run_ids on a
+        # persistent store must not see a previous round's address).
+        import socket
+        rnd = getattr(handler, "last_round", 0)
+        addr_key = f"rdzv/{args.rdzv_id}/master_addr/{rnd}"
+        if node_rank == 0:
+            args.master_addr = socket.gethostname()
+            store.set(addr_key, args.master_addr)
+        else:
+            args.master_addr = store.wait(addr_key, timeout=60.0)
+        print(f"coordinator (rank-0 node): {args.master_addr}")
 
     # single supervisor per node; worker ranks offset by node_rank
     world = nnodes * args.nproc_per_node

@@ -41,7 +41,9 @@ def build_service(cfg, weight: str = "", index_path: str = "",
     elif weight:
         from editor_tpu.utils.checkpoint import CheckpointManager
         restored = CheckpointManager(weight, use_async=False).restore()
-        params, mstate = restored["params"], restored["model_state"]
+        # the train loop saves {"state": TrainState, "epoch": N}
+        st = restored.get("state", restored)
+        params, mstate = st["params"], st["model_state"]
 
     extractor = FeatureExtractor(
         cfg, ecfg, params, mstate, batch_size=batch_size,

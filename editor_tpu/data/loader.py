@@ -77,14 +77,16 @@ def decode_batch_native(items, size_hw: Tuple[int, int], wide_jpeg: bool,
     reference reaches through DataLoader worker processes). Raises
     RuntimeError when the native library is unavailable (caller falls back
     to the PIL thread pool)."""
-    from editor_tpu.native import decode_resize_batch
+    from editor_tpu.native import decode_resize_batch, decode_resize_multicrop
     h, w = size_hw
     n = len(items)
     if wide_jpeg:
-        paths = [it[0] for it in items for _ in range(num_modalities)]
-        crops = [t * WIDE_TILE_W for _ in items for t in range(num_modalities)]
-        arr = decode_resize_batch(paths, (h, w), crop_x0=crops,
-                                  crop_w=WIDE_TILE_W, crop_h=WIDE_TILE_H)
+        # decode each wide JPEG once, emit one crop per modality tile
+        paths = [it[0] for it in items]
+        crops = [[t * WIDE_TILE_W for t in range(num_modalities)]
+                 for _ in items]
+        arr = decode_resize_multicrop(paths, (h, w), crops,
+                                      crop_w=WIDE_TILE_W, crop_h=WIDE_TILE_H)
     else:
         paths = [p for it in items for p in it[0][:num_modalities]]
         arr = decode_resize_batch(paths, (h, w))

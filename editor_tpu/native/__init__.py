@@ -125,6 +125,15 @@ def load_imagecodec() -> Optional[ctypes.CDLL]:
                 np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ]
             fn.restype = ctypes.c_int32
+            fn2 = lib.editor_tpu_decode_multicrop_batch
+            fn2.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ]
+            fn2.restype = ctypes.c_int32
             _CODEC_LIB = lib
         except (subprocess.CalledProcessError, OSError):
             _CODEC_FAILED = True
@@ -156,4 +165,26 @@ def decode_resize_batch(paths, out_hw, crop_x0=None, crop_w: int = 0,
         arr, n, cx_ptr, int(crop_w), int(crop_h), h, w, out)
     if failures:
         raise RuntimeError(f"{failures}/{n} decodes failed")
+    return out
+
+
+def decode_resize_multicrop(paths, out_hw, crop_x0, crop_w: int,
+                            crop_h: int) -> np.ndarray:
+    """Decode each JPEG in ``paths`` ONCE and emit ``k`` crops per image
+    (``crop_x0``: [n, k] tile origins, each [x0, x0+crop_w) x [0, crop_h)),
+    bicubic-resized to ``out_hw``. Returns u8 [n*k, H, W, 3] in image-major
+    order — the wide-JPEG modality tiling without re-decoding per tile."""
+    lib = load_imagecodec()
+    if lib is None:
+        raise RuntimeError("native imagecodec unavailable")
+    h, w = out_hw
+    cx = np.ascontiguousarray(np.asarray(crop_x0, np.int32))
+    n, k = cx.shape
+    out = np.empty((n * k, h, w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    failures = lib.editor_tpu_decode_multicrop_batch(
+        arr, n, k, cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(crop_w), int(crop_h), h, w, out)
+    if failures:
+        raise RuntimeError(f"{failures}/{n * k} decodes failed")
     return out

@@ -218,4 +218,38 @@ int editor_tpu_decode_resize_batch(const char** paths, int n,
     return failures;
 }
 
+// Wide-JPEG tiling: decode each of n_imgs JPEGs ONCE and emit k crops per
+// image ([crop_x0[i*k+j], +crop_w) x [0, crop_h)), bicubic-resized into
+// out[n_imgs*k, out_h, out_w, 3]. Avoids the k-fold re-decode the per-crop
+// entry above would cost for multi-modal tiles (reference bases.py:21-26
+// crops one decoded PIL image per modality). Returns FAILED output count.
+int editor_tpu_decode_multicrop_batch(const char** paths, int n_imgs, int k,
+                                      const int* crop_x0, int crop_w,
+                                      int crop_h, int out_h, int out_w,
+                                      unsigned char* out) {
+    int failures = 0;
+#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
+    for (int i = 0; i < n_imgs; ++i) {
+        std::vector<unsigned char> rgb;
+        int w = 0, h = 0;
+        if (!decode_jpeg(paths[i], rgb, w, h)) {
+            failures += k;
+            continue;
+        }
+        const int ch = crop_h > 0 ? crop_h : h;
+        for (int j = 0; j < k; ++j) {
+            const int x0 = crop_x0[i * k + j];
+            if (x0 < 0 || x0 + crop_w > w || ch > h) {
+                ++failures;
+                continue;
+            }
+            resize_bicubic(rgb.data(), w, h, x0, 0, crop_w, ch,
+                           out + static_cast<size_t>(i * k + j) * out_h *
+                                     out_w * 3,
+                           out_w, out_h);
+        }
+    }
+    return failures;
+}
+
 }  // extern "C"

@@ -418,7 +418,8 @@ class _DynamicHandler(RendezvousHandler):
     def next_rendezvous(self, timeout: float = 30.0):
         if self.is_closed():
             raise RendezvousClosedError(self.run_id)
-        _, rank, world = self._rdzv.next_rendezvous(timeout=timeout)
+        rnd, rank, world = self._rdzv.next_rendezvous(timeout=timeout)
+        self.last_round = rnd  # exposed so callers can round-scope store keys
         return self.store, rank, world
 
     def is_closed(self) -> bool:

@@ -70,6 +70,8 @@ class FeatureExtractor:
         if not mods:
             raise ValueError("no modalities in request")
         n = len(images[mods[0]])
+        if n == 0:
+            return np.zeros((0, self.feat_dim), np.float32)
         if camids is None:
             camids = np.zeros((n,), np.int32)
         feats = []
@@ -261,8 +263,11 @@ class RetrievalServer:
         size = self.extractor.size_hw
         imgs = {m: _decode_b64_image(enc[m], size)
                 for m in MODALITIES if m in enc}
-        for m in MODALITIES:  # 2-modal requests duplicate like the reference
-            imgs.setdefault(m, imgs["RGB"])
+        # 2-modal requests duplicate NI into TI like the dataset collate
+        # (data/loader.py decode_item; reference make_dataloader NI->TI dup);
+        # RGB fills in only when NI is absent too
+        imgs.setdefault("NI", imgs["RGB"])
+        imgs.setdefault("TI", imgs["NI"])
         return {m: v[None] for m, v in imgs.items()}
 
     def _query(self, req: dict) -> dict:

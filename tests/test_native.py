@@ -114,3 +114,31 @@ def test_loader_native_decode_batches_match_pil(tmp_path):
         assert diff.max() <= 8, (k, diff.max())
     np.testing.assert_array_equal(b_nat["pid"], b_pil["pid"])
     np.testing.assert_array_equal(b_nat["camid"], b_pil["camid"])
+
+
+def test_native_multicrop_matches_per_crop(tmp_path):
+    """decode_resize_multicrop (decode once, k crops) == k independent
+    decode_resize_batch calls — the wide-JPEG fast path is exact."""
+    _codec_or_skip()
+    from PIL import Image
+    from editor_tpu.native import decode_resize_batch, decode_resize_multicrop
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(4):
+        wide = rng.randint(0, 255, (128, 3 * 256, 3), np.uint8)
+        p = str(tmp_path / f"wide{i}.jpg")
+        Image.fromarray(wide).save(p, quality=95)
+        paths.append(p)
+    crops = [[0, 256, 512]] * 4
+    got = decode_resize_multicrop(paths, (64, 32), crops,
+                                  crop_w=256, crop_h=128)
+    want = decode_resize_batch(
+        [p for p in paths for _ in range(3)], (64, 32),
+        crop_x0=[x for _ in paths for x in (0, 256, 512)],
+        crop_w=256, crop_h=128)
+    assert got.shape == want.shape == (12, 64, 32, 3)
+    assert np.array_equal(got, want)
+
+    with pytest.raises(RuntimeError, match="decodes failed"):
+        decode_resize_multicrop([str(tmp_path / "nope.jpg")], (64, 32),
+                                [[0]], crop_w=256, crop_h=128)

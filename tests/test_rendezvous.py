@@ -80,9 +80,9 @@ def test_scale_up_waits_then_rejoins_bigger_world():
         # reliably rejoin the restarted round even on a loaded CI host
         a, b = mk("a"), mk("b")
         res = {}
-        ta = threading.Thread(target=lambda: res.update(a=a.next_rendezvous(20)))
-        tb = threading.Thread(target=lambda: res.update(b=b.next_rendezvous(20)))
-        ta.start(); tb.start(); ta.join(30); tb.join(30)
+        ta = threading.Thread(target=lambda: res.update(a=a.next_rendezvous(90)))
+        tb = threading.Thread(target=lambda: res.update(b=b.next_rendezvous(90)))
+        ta.start(); tb.start(); ta.join(120); tb.join(120)
         assert res["a"][2] == res["b"][2] == 2
 
         # late third node parks in the waiting set (wide timeouts: under a
@@ -91,7 +91,7 @@ def test_scale_up_waits_then_rejoins_bigger_world():
         c = mk("c")
         tc = threading.Thread(target=lambda: res.update(c=c.next_rendezvous(120)))
         tc.start()
-        deadline = time.time() + 30
+        deadline = time.time() + 90
         while a.num_nodes_waiting() == 0 and time.time() < deadline:
             time.sleep(0.05)
         assert a.num_nodes_waiting() >= 1
@@ -285,7 +285,8 @@ def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
     with open(script, "w") as f:
         f.write("import os\n"
                 "print('W', os.environ['NODE_RANK'],"
-                " os.environ['WORLD_SIZE'], flush=True)\n")
+                " os.environ['WORLD_SIZE'],"
+                " os.environ['MASTER_ADDR'], flush=True)\n")
 
     outs = {}
 
@@ -306,15 +307,21 @@ def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
     for t in ts:
         t.join(150)
     assert set(outs) == {0, 1}
-    ranks = set()
+    ranks, addrs = set(), set()
     for i, r in outs.items():
         assert r.returncode == 0, (i, r.stdout[-500:], r.stderr[-500:])
         for line in r.stdout.splitlines():
             if line.startswith("W "):
-                _, nr, ws = line.split()
+                _, nr, ws, ma = line.split()
                 ranks.add(int(nr))
+                addrs.add(ma)
                 assert ws == "2"
     assert ranks == {0, 1}, (ranks, outs[0].stdout, outs[1].stdout)
+    # every node received the SAME coordinator address — the elected rank-0
+    # node's hostname published through the store, not the static default
+    assert len(addrs) == 1, addrs
+    import socket
+    assert addrs == {socket.gethostname()}
 
 
 def test_tcp_store_client_retries_until_server_up():

@@ -56,6 +56,8 @@ def test_extractor_pad_and_trim(tiny_service):
     np.testing.assert_allclose(f1[0], f6[0], rtol=2e-5, atol=2e-5)
     f4 = ex({m: v[:4] for m, v in imgs6.items()})
     np.testing.assert_allclose(f4, f6[:4], rtol=2e-5, atol=2e-5)
+    f0 = ex({m: v[:0] for m, v in imgs6.items()})  # empty batch: [0, D]
+    assert f0.shape == (0, ex.feat_dim)
 
 
 def test_gallery_index_roundtrip_and_search(tmp_path, tiny_service):
