@@ -36,6 +36,7 @@ def pipeline_apply(
     num_microbatches: int,
     axis_name: str = "stage",
     remat: bool = False,
+    stage_param_spec: Any = None,
 ) -> Array:
     """Run ``x`` through S pipeline stages.
 
@@ -46,6 +47,11 @@ def pipeline_apply(
         stage), sharded over ``axis_name``.
       x: [B, ...] global batch; B must divide into ``num_microbatches``.
       mesh: mesh containing the ``axis_name`` axis of size S.
+      stage_param_spec: optional PartitionSpec pytree for ``stage_params``
+        (leading axis must stay ``axis_name``). Lets stages be
+        tensor-parallel over a second mesh axis — e.g.
+        ``P('stage', None, 'model')`` column-sharded weights with a
+        ``psum('model')`` inside ``stage_fn`` (combined PP x TP).
 
     Returns: [B, ...] output activations (from the last stage).
     """
@@ -88,7 +94,8 @@ def pipeline_apply(
         (outputs, _), _ = lax.scan(tick, (outputs, recv), jnp.arange(T))
         return outputs[None]  # re-add stage axis for the out_spec
 
-    stage_spec = jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
+    stage_spec = stage_param_spec if stage_param_spec is not None else \
+        jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
     out = shard_map(
         per_stage, mesh=mesh,
         in_specs=(stage_spec, P()),
@@ -106,6 +113,7 @@ def pipeline_train_step(
     num_microbatches: int,
     axis_name: str = "stage",
     remat: bool = True,
+    stage_param_spec: Any = None,
 ) -> Callable:
     """Build a jitted (stage_params, x) -> (loss, grads) step that trains
     THROUGH the pipeline (reference ``Pipe`` exists to train:
@@ -120,7 +128,8 @@ def pipeline_train_step(
 
     def loss_of(stage_params, x):
         out = pipeline_apply(stage_fn, stage_params, x, mesh,
-                             num_microbatches, axis_name, remat=remat)
+                             num_microbatches, axis_name, remat=remat,
+                             stage_param_spec=stage_param_spec)
         return loss_fn(out)
 
     return jax.jit(jax.value_and_grad(loss_of))
