@@ -53,12 +53,8 @@ def main(argv=None):
         params, mstate = convert_editor_from_torch(weight, ecfg, params,
                                                    mstate)
     elif weight:
-        from editor_tpu.utils.checkpoint import CheckpointManager
-        mgr = CheckpointManager(weight, use_async=False)
-        restored = mgr.restore()
-        # the train loop saves {"state": TrainState, "epoch": N}
-        st = restored.get("state", restored)
-        params, mstate = st["params"], st["model_state"]
+        from editor_tpu.utils.checkpoint import restore_eval_state
+        params, mstate = restore_eval_state(weight)
     else:
         raise SystemExit("TEST.WEIGHT is required (checkpoint to export)")
 

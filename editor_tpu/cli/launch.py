@@ -87,7 +87,9 @@ def main(argv=None):
         rnd = getattr(handler, "last_round", 0)
         addr_key = f"rdzv/{args.rdzv_id}/master_addr/{rnd}"
         if node_rank == 0:
-            args.master_addr = socket.gethostname()
+            # FQDN: short container hostnames are often not DNS-resolvable
+            # from peer nodes (torch elastic publishes the fqdn too)
+            args.master_addr = socket.getfqdn() or socket.gethostname()
             store.set(addr_key, args.master_addr)
         else:
             args.master_addr = store.wait(addr_key, timeout=60.0)

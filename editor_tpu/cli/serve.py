@@ -39,11 +39,8 @@ def build_service(cfg, weight: str = "", index_path: str = "",
         params, mstate = convert_editor_from_torch(weight, ecfg, params,
                                                    mstate)
     elif weight:
-        from editor_tpu.utils.checkpoint import CheckpointManager
-        restored = CheckpointManager(weight, use_async=False).restore()
-        # the train loop saves {"state": TrainState, "epoch": N}
-        st = restored.get("state", restored)
-        params, mstate = st["params"], st["model_state"]
+        from editor_tpu.utils.checkpoint import restore_eval_state
+        params, mstate = restore_eval_state(weight)
 
     extractor = FeatureExtractor(
         cfg, ecfg, params, mstate, batch_size=batch_size,

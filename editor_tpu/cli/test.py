@@ -43,14 +43,8 @@ def main(argv=None):
         params, mstate = convert_editor_from_torch(weight, ecfg, params, mstate)
         logger.info("Loaded torch checkpoint %s", weight)
     elif weight:
-        from editor_tpu.utils.checkpoint import CheckpointManager
-        mgr = CheckpointManager(weight, use_async=False)
-        restored = mgr.restore()
-        # the train loop saves {"state": TrainState, "epoch": N}
-        # (engine/loop.py); bare {"params", "model_state"} also accepted
-        st = restored.get("state", restored)
-        params = st["params"]
-        mstate = st["model_state"]
+        from editor_tpu.utils.checkpoint import restore_eval_state
+        params, mstate = restore_eval_state(weight)
         logger.info("Loaded checkpoint %s", weight)
 
     state = TrainState(params=params, opt_state=None, model_state=mstate,

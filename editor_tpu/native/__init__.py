@@ -135,7 +135,10 @@ def load_imagecodec() -> Optional[ctypes.CDLL]:
             ]
             fn2.restype = ctypes.c_int32
             _CODEC_LIB = lib
-        except (subprocess.CalledProcessError, OSError):
+        except (subprocess.CalledProcessError, OSError, AttributeError):
+            # AttributeError: a stale cached .so missing a newer symbol
+            # (e.g. restored EDITOR_TPU_NATIVE_CACHE volume) must trip the
+            # PIL fallback, not crash every batch
             _CODEC_FAILED = True
             _CODEC_LIB = None
         return _CODEC_LIB

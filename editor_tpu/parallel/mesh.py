@@ -37,7 +37,13 @@ def _arrange(devs: list, data: int, model: int) -> np.ndarray:
             return mesh_utils.create_hybrid_device_mesh(
                 (data // s, model), (s, 1), devices=devs)
         return mesh_utils.create_device_mesh((data, model), devices=devs)
-    except Exception:  # exotic topology mesh_utils can't factor
+    except (ImportError, ValueError, NotImplementedError, AssertionError) as e:
+        # exotic topology mesh_utils can't factor — warn loudly: flat order
+        # can route model-axis collectives over DCN on multi-slice jobs
+        import logging
+        logging.getLogger(__name__).warning(
+            "topology-aware mesh layout failed (%s); falling back to flat "
+            "device order", e)
         return np.asarray(devs).reshape(data, model)
 
 

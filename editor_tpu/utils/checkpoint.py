@@ -60,6 +60,17 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def restore_eval_state(directory: str) -> tuple:
+    """Restore (params, model_state) from an Orbax checkpoint directory,
+    unwrapping the {"state": TrainState, "epoch": N} payload the training
+    loop writes (engine/loop.py); a bare {"params", "model_state"} payload
+    is also accepted. Shared by the test/serve/export CLIs."""
+    mgr = CheckpointManager(directory, use_async=False)
+    restored = mgr.restore()
+    st = restored.get("state", restored)
+    return st["params"], st["model_state"]
+
+
 def save_params_npz(path: str, params: Any) -> None:
     """Flat .npz export of a param/state pytree (portable, torch-free)."""
     flat = {}
