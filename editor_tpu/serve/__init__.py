@@ -41,11 +41,13 @@ MODALITIES = ("RGB", "NI", "TI")
 
 
 class FeatureExtractor:
-    """Pad-and-trim wrapper around one compiled eval step.
+    """Pad-and-trim wrapper around a small set of compiled eval steps.
 
-    images dicts of ANY leading size N are padded up to the next multiple of
-    ``batch_size`` (static compiled shape) and the result trimmed back — the
-    serving path compiles exactly once per (config, batch_size).
+    Full chunks run at the ``batch_size`` shape; a short tail (or a short
+    request — the latency-sensitive serving case) pads only up to the next
+    power of two instead of the full batch, so a single-image query costs
+    one image of compute, not ``batch_size``. Compile count stays bounded:
+    at most 1 + log2(batch_size) shapes, each cached by jit.
     """
 
     def __init__(self, cfg: Any, ecfg: EditorConfig, params: dict,
@@ -58,6 +60,9 @@ class FeatureExtractor:
         self._step = build_eval_step(ecfg, compute_dtype, mesh)
         self._transform = make_eval_transform(cfg.INPUT)
         self.size_hw = tuple(cfg.INPUT.SIZE_TEST)
+        # a sharded batch axis must stay divisible by the mesh — only the
+        # single-device serving path uses the power-of-two tail buckets
+        self._bucketed = mesh is None
 
     @property
     def feat_dim(self) -> int:
@@ -80,11 +85,14 @@ class FeatureExtractor:
             chunk = {m: images[m][lo:lo + B] for m in mods}
             cam = np.asarray(camids[lo:lo + B], np.int32)
             take = len(cam)
-            if take < B:  # pad to the compiled static batch
+            if take < B:  # pad to the next power-of-two bucket <= B
+                bucket = 1 if self._bucketed else B
+                while bucket < take:
+                    bucket *= 2
                 chunk = {m: np.concatenate(
-                    [v, np.repeat(v[-1:], B - take, axis=0)]) for m, v in
+                    [v, np.repeat(v[-1:], bucket - take, axis=0)]) for m, v in
                     chunk.items()}
-                cam = np.concatenate([cam, np.full(B - take, cam[-1],
+                cam = np.concatenate([cam, np.full(bucket - take, cam[-1],
                                                    np.int32)])
             feed = {m: self._transform(jnp.asarray(v))
                     for m, v in chunk.items()}
