@@ -303,3 +303,117 @@ def test_cli_train_learns_synthetic_identities(separable_root, tmp_path):
     mAP = result["best"]["mAP"]
     assert mAP >= 0.9, (mAP, mAP_untrained)
     assert mAP > mAP_untrained + 0.2, (mAP, mAP_untrained)
+
+
+@pytest.fixture(scope="module")
+def wide_root(tmp_path_factory):
+    """Synthetic RGBNT100 layout: single wide JPEGs (3 x 256-px tiles),
+    regex-named `PID_cCAM_idx.jpg` (reference RGBNT100.py:64-89)."""
+    root = str(tmp_path_factory.mktemp("widedata"))
+    base = osp.join(root, "RGBNT100", "rgbir")
+    protos = {pid: np.random.RandomState(200 + pid).randint(0, 255, (128, 768, 3))
+              for pid in range(1, 5)}
+    idx = 0
+    for split, n in (("bounding_box_train", 16), ("query", 4),
+                     ("bounding_box_test", 8)):
+        for i in range(n):
+            pid, cam = (i % 4) + 1, (i // 4) % 2 + 1
+            noisy = np.clip(protos[pid] + np.random.RandomState(idx).randint(
+                -15, 15, (128, 768, 3)), 0, 255).astype(np.uint8)
+            p = osp.join(base, split, f"{pid:04d}_c{cam}_{idx:04d}.jpg")
+            os.makedirs(osp.dirname(p), exist_ok=True)
+            Image.fromarray(noisy).save(p)
+            idx += 1
+    return root
+
+
+@pytest.mark.slow
+def test_cli_train_rgbnt100_wide_jpeg(wide_root, tmp_path):
+    """End-to-end train + eval on the wide-JPEG layout: exercises the
+    single-decode multicrop tiling (native or PIL), the regex adapter, and
+    the same engine path as RGBNT201."""
+    from editor_tpu.cli.train import main
+    out = str(tmp_path / "out_wide")
+    result = main([
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.PRETRAIN_CHOICE", "random",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "INPUT.SIZE_TEST", "[64, 32]",
+        "DATASETS.NAMES", "RGBNT100",
+        "DATASETS.ROOT_DIR", wide_root,
+        "DATALOADER.NUM_INSTANCE", "2",
+        "DATALOADER.NUM_WORKERS", "2",
+        "SOLVER.IMS_PER_BATCH", "8",
+        "SOLVER.MAX_EPOCHS", "1",
+        "SOLVER.EVAL_PERIOD", "1",
+        "SOLVER.CHECKPOINT_PERIOD", "5",
+        "SOLVER.LOG_PERIOD", "1",
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TPU.MESH_DATA", "1",
+        "OUTPUT_DIR", out,
+    ])
+    assert np.isfinite(result["best"]["mAP"]) and result["best"]["mAP"] > 0.0
+
+
+@pytest.fixture(scope="module")
+def msvr_root(tmp_path_factory):
+    """Synthetic MSVR310 layout: per-vehicle dirs with vis/ni/th subdirs,
+    scene+cam encoded in the name `PPPP_sSSS_vC_i.jpg`
+    (reference msvr310.py:67-88). Query scenes differ from gallery scenes so
+    the same-(pid, scene) exclusion leaves valid matches."""
+    root = str(tmp_path_factory.mktemp("msvrdata"))
+    base = osp.join(root, "MSVR310")
+    protos = {pid: np.random.RandomState(300 + pid).randint(0, 255, (64, 32, 3))
+              for pid in range(1, 5)}
+    idx = 0
+
+    def put(split, pid, scene, cam):
+        nonlocal idx
+        name = f"{pid:04d}_s{scene:03d}_v{cam}_{idx}.jpg"
+        noisy = np.clip(protos[pid] + np.random.RandomState(idx).randint(
+            -15, 15, (64, 32, 3)), 0, 255).astype(np.uint8)
+        for mod in ("vis", "ni", "th"):
+            p = osp.join(base, split, f"{pid:04d}", mod, name)
+            os.makedirs(osp.dirname(p), exist_ok=True)
+            Image.fromarray(noisy).save(p)
+        idx += 1
+
+    for pid in range(1, 5):
+        for k in range(4):  # train: 2 scenes x 2 cams
+            put("train", pid, scene=k % 2 + 1, cam=k // 2 + 1)
+        put("query3", pid, scene=1, cam=1)
+        put("bounding_box_test", pid, scene=2, cam=2)  # valid match
+        put("bounding_box_test", pid, scene=1, cam=1)  # excluded by protocol
+    return root
+
+
+@pytest.mark.slow
+def test_cli_train_msvr310_scene_protocol(msvr_root, tmp_path):
+    """End-to-end train + eval on the MSVR310 layout: per-vehicle dirs,
+    scene ids parsed from names, and the same-(pid, scene) gallery exclusion
+    protocol flowing through the evaluator."""
+    from editor_tpu.cli.train import main
+    out = str(tmp_path / "out_msvr")
+    result = main([
+        "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+        "MODEL.PRETRAIN_CHOICE", "random",
+        "MODEL.DROP_PATH", "0.0",
+        "INPUT.SIZE_TRAIN", "[64, 32]",
+        "INPUT.SIZE_TEST", "[64, 32]",
+        "DATASETS.NAMES", "MSVR310",
+        "DATASETS.ROOT_DIR", msvr_root,
+        "DATALOADER.NUM_INSTANCE", "2",
+        "DATALOADER.NUM_WORKERS", "2",
+        "SOLVER.IMS_PER_BATCH", "8",
+        "SOLVER.MAX_EPOCHS", "1",
+        "SOLVER.EVAL_PERIOD", "1",
+        "SOLVER.CHECKPOINT_PERIOD", "5",
+        "SOLVER.LOG_PERIOD", "1",
+        "MODEL.FREQUENCY_KEEP", "3",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TPU.MESH_DATA", "1",
+        "OUTPUT_DIR", out,
+    ])
+    assert np.isfinite(result["best"]["mAP"]) and result["best"]["mAP"] > 0.0
