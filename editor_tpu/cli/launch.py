@@ -88,8 +88,13 @@ def main(argv=None):
         addr_key = f"rdzv/{args.rdzv_id}/master_addr/{rnd}"
         if node_rank == 0:
             # FQDN: short container hostnames are often not DNS-resolvable
-            # from peer nodes (torch elastic publishes the fqdn too)
-            args.master_addr = socket.getfqdn() or socket.gethostname()
+            # from peer nodes (torch elastic publishes the fqdn too). But
+            # getfqdn() returns 'localhost' when reverse DNS maps the host
+            # to 127.0.0.1 — useless to peers, so fall back to the hostname.
+            fqdn = socket.getfqdn()
+            if not fqdn or fqdn == "localhost" or fqdn.startswith("localhost."):
+                fqdn = socket.gethostname()
+            args.master_addr = fqdn
             store.set(addr_key, args.master_addr)
         else:
             args.master_addr = store.wait(addr_key, timeout=60.0)

@@ -63,6 +63,7 @@ def build_train_step(
     donate: bool = True,
     augment: Optional[Callable] = None,
     state_shardings: Optional[Any] = None,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns step(state, batch, epoch) -> (state, metrics).
 
@@ -72,6 +73,15 @@ def build_train_step(
     data/transforms.make_train_augment) it runs INSIDE the jitted step with a
     distinct PRNG key per modality (independent per-modality augmentation,
     reference bases.py:89-107).
+
+    ``grad_accum > 1`` splits the batch into that many microbatches inside
+    the jitted step (lax.scan), summing gradients and stepping the optimizer
+    once — the standard way to reach the reference's batch 128 (>24 GB on
+    GPU, README.md:88-90) on a small-HBM chip. Semantics match torch
+    accumulation: BN stats / OCFR centers advance per microbatch in order,
+    batch-hard triplet mining sees each microbatch (not the effective
+    batch) — so keep P×K structure within every microbatch (B, and P, must
+    be divisible by grad_accum).
     """
 
     tp_mesh = (mesh if mesh is not None
@@ -92,22 +102,47 @@ def build_train_step(
         labels = batch["pid"]
         cams = batch.get("camid")
 
-        def loss_of(params):
+        def loss_of(params, mstate, imgs, lbls, cms, rng):
             out, new_mstate = editor_apply(
-                params, state.model_state, ecfg, images, labels=labels,
-                cam_ids=cams, training=True, rng=step_rng, tp_mesh=tp_mesh)
+                params, mstate, ecfg, imgs, labels=lbls,
+                cam_ids=cms, training=True, rng=rng, tp_mesh=tp_mesh)
             # output-tuple protocol (processor.py:83-92): every (score, feat)
             # pair through loss_func, plus the trailing aux loss
             total = jnp.asarray(0.0, jnp.float32)
             for score, feat in out.pairs:
-                total = total + loss_func(score, feat, labels)
+                total = total + loss_func(score, feat, lbls)
             total = total + out.aux_loss
             acc = jnp.mean((jnp.argmax(out.pairs[0][0], axis=1)
-                            == labels).astype(jnp.float32))
+                            == lbls).astype(jnp.float32))
             return total, (new_mstate, acc)
 
-        (loss, (new_mstate, acc)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params)
+        if grad_accum > 1:
+            split = lambda x: x.reshape(
+                (grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+            xs = ({k: split(v) for k, v in images.items()}, split(labels),
+                  None if cams is None else split(cams),
+                  jax.random.split(step_rng, grad_accum))
+
+            def body(carry, x):
+                mstate, gsum, lsum, asum = carry
+                imgs_i, lbls_i, cms_i, rng_i = x
+                (l, (mstate, a)), g = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params, mstate, imgs_i,
+                                           lbls_i, cms_i, rng_i)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (mstate, gsum, lsum + l, asum + a), None
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero = jnp.zeros((), jnp.float32)
+            (new_mstate, gsum, lsum, asum), _ = jax.lax.scan(
+                body, (state.model_state, gzero, zero, zero), xs)
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            loss, acc = lsum * inv, asum * inv
+        else:
+            (loss, (new_mstate, acc)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params, state.model_state,
+                                       images, labels, cams, step_rng)
         lr = lr_fn(epoch, base_lr)
         new_params, new_opt = optimizer.update(grads, state.opt_state,
                                               state.params, lr)
@@ -131,6 +166,28 @@ def build_train_step(
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def fsdp_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """TrainState sharding pytree with FSDP/ZeRO-3 partitioning: params AND
+    optimizer state sharded over the 'data' axis (model-state/rng/step
+    replicated). XLA inserts the per-layer all-gather (forward/backward) and
+    gradient reduce-scatter that torch FSDP hand-schedules. Pass as
+    build_train_step's ``state_shardings`` and device_put the initial state
+    with it (parallel/fsdp.py has the rationale)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from editor_tpu.parallel.fsdp import fsdp_shardings
+
+    repl = NamedSharding(mesh, P())
+    repl_of = lambda tree: jax.tree_util.tree_map(lambda _: repl, tree)
+    return TrainState(
+        params=fsdp_shardings(state.params, mesh),
+        opt_state=fsdp_shardings(state.opt_state, mesh),
+        model_state=repl_of(state.model_state),
+        rng=repl,
+        step=repl,
+    )
 
 
 def zero1_state_shardings(state: TrainState, mesh: Mesh) -> TrainState:

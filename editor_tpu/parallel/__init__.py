@@ -15,6 +15,11 @@ from editor_tpu.parallel.collectives import (  # noqa: F401
 )
 from editor_tpu.parallel.compression import Reducer, make_reducer  # noqa: F401
 from editor_tpu.parallel.zero import shard_opt_state, zero1_shardings  # noqa: F401
+from editor_tpu.parallel.fsdp import (  # noqa: F401
+    fsdp_shardings,
+    param_memory_bytes,
+    shard_params,
+)
 from editor_tpu.parallel.tp import (  # noqa: F401
     editor_tp_shardings,
     train_state_tp_shardings,

@@ -1,0 +1,70 @@
+"""FSDP / ZeRO-3: parameter + gradient + optimizer-state sharding over 'data'.
+
+The reference stops at ZeRO-1 (optimizer-state sharding,
+distributed/optim/zero_redundancy_optimizer.py:267); full parameter sharding
+(torch FSDP / ZeRO-3) has no counterpart there. On TPU it is a pure layout
+statement: every large parameter leaf (and its optimizer-state twin) is
+sharded over the 'data' mesh axis via NamedSharding, and XLA derives the
+exact FSDP communication schedule from the annotations:
+
+  * all-gather each layer's params over ICI just before they are consumed
+    by the forward / recomputed backward (overlapped with compute by the
+    scheduler — the hand-written prefetch of torch FSDP),
+  * reduce-scatter the gradients so each device only materializes its own
+    1/data_size shard for the optimizer update,
+  * keep params resident in HBM only as shards between steps.
+
+Math is unchanged — parity vs the replicated step is tested in
+tests/test_parallel.py. Per-device parameter memory drops by ~data_size
+(see ``param_memory_bytes``), which is what unlocks models larger than one
+chip's HBM without pipeline stages.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+
+from editor_tpu.parallel.zero import _leaf_spec
+
+
+def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Per-leaf NamedShardings sharding each large leaf over ``axis``.
+
+    Works for params, gradients (same pytree), and optimizer state alike;
+    leaves too small to split (or with no ``axis``-divisible dimension)
+    stay replicated — they carry no memory win and sharding them would only
+    add collective latency.
+    """
+    size = mesh.shape[axis]
+    def spec_of(leaf):
+        p = _leaf_spec(leaf, size)
+        if axis != "data" and any(p):
+            p = type(p)(*[axis if s == "data" else s for s in p])
+        return NamedSharding(mesh, p)
+    return jax.tree_util.tree_map(spec_of, tree)
+
+
+def shard_params(params: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device-put a parameter pytree with FSDP sharding."""
+    sh = fsdp_shardings(params, mesh, axis)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def param_memory_bytes(params: Any, per_device: bool, mesh: Mesh,
+                       axis: str = "data") -> int:
+    """Diagnostic: parameter bytes total vs resident per device under FSDP."""
+    size = mesh.shape[axis]
+    total = 0
+    per = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if not hasattr(leaf, "shape"):
+            continue
+        n = int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        total += n
+        spec = _leaf_spec(leaf, size)
+        per += n // size if any(spec) else n
+    return per if per_device else total

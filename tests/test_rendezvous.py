@@ -321,7 +321,10 @@ def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
     # node's hostname published through the store, not the static default
     assert len(addrs) == 1, addrs
     import socket
-    assert addrs == {socket.gethostname()}
+    # the launcher publishes the FQDN when it is real, else the hostname —
+    # never the useless reverse-DNS 'localhost'
+    assert addrs <= {socket.getfqdn(), socket.gethostname()}
+    assert "localhost" not in addrs
 
 
 def test_tcp_store_client_retries_until_server_up():
