@@ -145,7 +145,12 @@ class TPUConfig:
     COMPUTE_DTYPE: str = "bfloat16"  # compute dtype under jit; params stay fp32
     MESH_DATA: int = -1  # data-parallel mesh axis size; -1 = all local devices
     MESH_MODEL: int = 1  # model-parallel mesh axis size (TP hooks)
-    ZERO_STAGE: int = 0  # 0 = replicated opt state, 1 = ZeRO-1 sharded over data axis
+    # 0 = replicated opt state, 1 = ZeRO-1 (opt state sharded over data
+    # axis), 3 = FSDP/ZeRO-3 (params + opt state sharded; parallel/fsdp.py)
+    ZERO_STAGE: int = 0
+    # microbatches accumulated per optimizer step inside the jitted step
+    # (engine/train.py) — IMS_PER_BATCH must be divisible by it
+    GRAD_ACCUM: int = 1
     REMAT: bool = False  # jax.checkpoint the backbone blocks
     # 'block' (fastest measured) | 'dots' | 'names' | 'attn_out'
     REMAT_POLICY: str = "block"

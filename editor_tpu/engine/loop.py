@@ -154,6 +154,13 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
             state = jax.tree_util.tree_map(jax.device_put, state,
                                            state_shardings)
             logger.info("ZeRO-1: optimizer state sharded over the data axis")
+        elif mesh is not None and cfg.TPU.ZERO_STAGE == 3:
+            from editor_tpu.engine.train import fsdp_state_shardings
+            state_shardings = fsdp_state_shardings(state, mesh)
+            state = jax.tree_util.tree_map(jax.device_put, state,
+                                           state_shardings)
+            logger.info("FSDP/ZeRO-3: params + optimizer state sharded over "
+                        "the data axis")
         elif mesh is not None and mesh.shape.get("model", 1) > 1:
             from editor_tpu.parallel.tp import train_state_tp_shardings
             state_shardings = train_state_tp_shardings(state, mesh)
@@ -165,7 +172,8 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                                 cfg.SOLVER.BASE_LR,
                                 compute_dtype=compute_dtype, mesh=mesh,
                                 donate=cfg.TPU.DONATE, augment=augment,
-                                state_shardings=state_shardings)
+                                state_shardings=state_shardings,
+                                grad_accum=cfg.TPU.GRAD_ACCUM)
 
     ckpt_mgr = None
     start_epoch = 1

@@ -117,6 +117,10 @@ def build_train_step(
             return total, (new_mstate, acc)
 
         if grad_accum > 1:
+            if labels.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch size {labels.shape[0]} is not divisible by "
+                    f"grad_accum={grad_accum}")
             split = lambda x: x.reshape(
                 (grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
             xs = ({k: split(v) for k, v in images.items()}, split(labels),
