@@ -64,8 +64,15 @@ def build_train_step(
     augment: Optional[Callable] = None,
     state_shardings: Optional[Any] = None,
     grad_accum: int = 1,
+    backbone: Optional[Callable] = None,
 ) -> Callable:
     """Returns step(state, batch, epoch) -> (state, metrics).
+
+    ``backbone``: optional backbone replacement threaded to ``editor_apply``
+    — pass ``parallel.pipeline_vit.make_pipeline_backbone(mesh, M)`` with a
+    'stage' mesh to train the real EDITOR through pipeline parallelism (the
+    batch is then replicated across stages unless the mesh also has a 'data'
+    axis, in which case dp x pp composes).
 
     batch: {'RGB','NI','TI': [B,H,W,3] f32 or uint8, 'pid': [B], 'camid': [B]}.
     epoch: 1-based (traced) — feeds the epoch-stepped cosine schedule
@@ -105,7 +112,8 @@ def build_train_step(
         def loss_of(params, mstate, imgs, lbls, cms, rng):
             out, new_mstate = editor_apply(
                 params, mstate, ecfg, imgs, labels=lbls,
-                cam_ids=cms, training=True, rng=rng, tp_mesh=tp_mesh)
+                cam_ids=cms, training=True, rng=rng, tp_mesh=tp_mesh,
+                backbone=backbone)
             # output-tuple protocol (processor.py:83-92): every (score, feat)
             # pair through loss_func, plus the trailing aux loss
             total = jnp.asarray(0.0, jnp.float32)
@@ -158,7 +166,10 @@ def build_train_step(
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        # pipeline-only ('stage',) meshes have no 'data' axis: the batch is
+        # replicated and the pipeline shard_map owns all device placement
+        data = NamedSharding(
+            mesh, P("data") if "data" in mesh.axis_names else P())
         if state_shardings is None:
             state_in = repl
         else:

@@ -231,12 +231,27 @@ def editor_apply(
     training: bool = False,
     rng: Optional[Array] = None,
     tp_mesh=None,
+    backbone=None,
+    seq_mesh=None,
 ):
     """Forward pass.
 
     ``tp_mesh``: a ('data','model') Mesh with model>1 — the backbone's
     fused-attention/rollout kernels then run per model-shard via shard_map
     (params must be in the TP layout, parallel/tp.py permute_qkv_params).
+
+    ``backbone``: optional replacement for the shared-ViT pass with the
+    signature (params, cfg, mods, cam, view, training, rng) -> (toks, rolls)
+    — e.g. the pipeline-parallel backbone
+    (parallel/pipeline_vit.make_pipeline_backbone), the TPU analogue of
+    wrapping the real model in the reference Pipe
+    (distributed/pipeline/sync/pipe.py:172).
+
+    ``seq_mesh``: a mesh with a 'seq' axis — the HMA fusion block's masked
+    attentions then run sequence-sharded via the masked ring schedule
+    (parallel/ring.ring_masked_attention). The compact-tail token counts
+    are 8-aligned (``_tail_keep_count``), so any seq axis dividing 8 works
+    on the flagship presets.
 
     images: {'RGB','NI','TI'} NHWC float tensors ('TI' optional for 2-modal
     datasets — reference forward_two_modalities, make_model.py:260-360; the
@@ -255,8 +270,12 @@ def editor_apply(
         mods, keep=cfg.frequency_keep, stride=cfg.vit.stride_size[0],
         window=cfg.vit.patch_size)
 
-    toks, rolls = _shared_backbone(params, cfg, mods, cam_ids, view_ids,
-                                   training, rng, tp_mesh)
+    if backbone is not None:
+        toks, rolls = backbone(params, cfg, mods, cam_ids, view_ids,
+                               training, rng)
+    else:
+        toks, rolls = _shared_backbone(params, cfg, mods, cam_ids, view_ids,
+                                       training, rng, tp_mesh)
 
     cls4tri = [t[:, 0, :] for t in toks]  # raw backbone cls tokens
 
@@ -297,7 +316,7 @@ def editor_apply(
     fused, ocfr_loss, new_ocfr = blockmask_apply(
         params["FUSE_block"], modal_feats, index, state["ocfr"], labels,
         num_heads=12, ocfr_momentum=cfg.ocfr_momentum, training=training,
-        use_pallas=cfg.use_pallas, tp_mesh=tp_mesh)
+        use_pallas=cfg.use_pallas, tp_mesh=tp_mesh, seq_mesh=seq_mesh)
 
     pooled = _masked_mean_pool(fused, index, seg_len, M)
 

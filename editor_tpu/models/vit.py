@@ -303,6 +303,43 @@ def _drop_path_scan(rng: Optional[Array], x: Array, rate: Array,
     return (x.astype(jnp.float32) / keep * mask).astype(x.dtype)
 
 
+def vit_embed(
+    params: dict,
+    x: Array,
+    cfg: ViTConfig,
+    camera_id: Optional[Array] = None,
+    view_id: Optional[Array] = None,
+    training: bool = False,
+    drop_rng: Optional[Array] = None,
+) -> Array:
+    """Patchify + cls token + pos embed + SIE (+ token dropout): everything
+    before the block stack (reference: vit_pytorch.py:623-637). Exposed
+    separately so the pipeline-parallel backbone can run it on every stage
+    replica while only the blocks are stage-partitioned
+    (parallel/pipeline_vit.py)."""
+    B = x.shape[0]
+    C = cfg.embed_dim
+    tokens = patch_embed(params["patch_embed"], x, cfg)
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype), (B, 1, C))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = params["pos_embed"].astype(tokens.dtype)
+    # SIE embedding (reference: vit_pytorch.py:630-637)
+    if "sie_embed" in params and cfg.camera > 1 and cfg.view > 1:
+        sie = params["sie_embed"][camera_id * cfg.view + view_id]
+        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
+    elif "sie_embed" in params and cfg.camera > 1:
+        sie = params["sie_embed"][camera_id]
+        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
+    elif "sie_embed" in params and cfg.view > 1:
+        sie = params["sie_embed"][view_id]
+        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
+    else:
+        tokens = tokens + pos
+    if training and cfg.drop_rate > 0 and drop_rng is not None:
+        tokens = dropout(drop_rng, tokens, cfg.drop_rate, training)
+    return tokens
+
+
 def vit_apply(
     params: dict,
     x: Array,
@@ -326,27 +363,10 @@ def vit_apply(
         attention maps (== Part_Attention's ``last_map[:, :, 0, 1:]``,
         reference: modeling/fusion_part/SFTS.py:145-153).
     """
-    B = x.shape[0]
-    C = cfg.embed_dim
-    tokens = patch_embed(params["patch_embed"], x, cfg)
-    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype), (B, 1, C))
-    tokens = jnp.concatenate([cls, tokens], axis=1)
-    pos = params["pos_embed"].astype(tokens.dtype)
-    # SIE embedding (reference: vit_pytorch.py:630-637)
-    if "sie_embed" in params and cfg.camera > 1 and cfg.view > 1:
-        sie = params["sie_embed"][camera_id * cfg.view + view_id]
-        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
-    elif "sie_embed" in params and cfg.camera > 1:
-        sie = params["sie_embed"][camera_id]
-        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
-    elif "sie_embed" in params and cfg.view > 1:
-        sie = params["sie_embed"][view_id]
-        tokens = tokens + pos + cfg.sie_xishu * sie.astype(tokens.dtype)
-    else:
-        tokens = tokens + pos
+    emb_rng = None
     if training and cfg.drop_rate > 0 and rng is not None:
-        rng, sub = jax.random.split(rng)
-        tokens = dropout(sub, tokens, cfg.drop_rate, training)
+        rng, emb_rng = jax.random.split(rng)
+    tokens = vit_embed(params, x, cfg, camera_id, view_id, training, emb_rng)
 
     N = tokens.shape[1]
     dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)

@@ -29,62 +29,78 @@ Array = jax.Array
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, Array], Array],
+    stage_fn: Callable[[Any, Any], Any],
     stage_params: Any,
-    x: Array,
+    x: Any,
     mesh: Mesh,
     num_microbatches: int,
     axis_name: str = "stage",
     remat: bool = False,
     stage_param_spec: Any = None,
-) -> Array:
+    batch_axis: Optional[str] = None,
+) -> Any:
     """Run ``x`` through S pipeline stages.
 
     Args:
       stage_fn: (params_for_one_stage, activations) -> activations, same
-        activation shape in/out (classic GPipe partition).
+        activation structure/shape in/out (classic GPipe partition).
       stage_params: pytree with a leading stage axis of size S (stacked per
         stage), sharded over ``axis_name``.
-      x: [B, ...] global batch; B must divide into ``num_microbatches``.
+      x: [B, ...] global batch — an array or a PYTREE of arrays sharing the
+        same leading batch dim (e.g. the EDITOR backbone carries
+        (tokens, rollout-product) across stage boundaries,
+        parallel/pipeline_vit.py); B must divide into ``num_microbatches``.
       mesh: mesh containing the ``axis_name`` axis of size S.
       stage_param_spec: optional PartitionSpec pytree for ``stage_params``
         (leading axis must stay ``axis_name``). Lets stages be
         tensor-parallel over a second mesh axis — e.g.
         ``P('stage', None, 'model')`` column-sharded weights with a
         ``psum('model')`` inside ``stage_fn`` (combined PP x TP).
+      batch_axis: optional second mesh axis the MICROBATCH dim is sharded
+        over (dp x pp composition: each 'data' row of the mesh pipelines its
+        own batch shard; gradients combine via the jit-level psum outside).
 
-    Returns: [B, ...] output activations (from the last stage).
+    Returns: [B, ...] output activations (from the last stage), same pytree
+    structure as ``x``.
     """
     S = mesh.shape[axis_name]
-    B = x.shape[0]
+    tmap = jax.tree_util.tree_map
+    leaves = jax.tree_util.tree_leaves(x)
+    B = leaves[0].shape[0]
+    if any(l.shape[0] != B for l in leaves):
+        raise ValueError("all activation leaves need the same batch dim")
     if B % num_microbatches:
         raise ValueError(f"batch {B} not divisible by {num_microbatches}")
     mb = B // num_microbatches
-    xm = x.reshape(num_microbatches, mb, *x.shape[1:])
+    xm = tmap(lambda l: l.reshape(num_microbatches, mb, *l.shape[1:]), x)
     fn = jax.checkpoint(stage_fn) if remat else stage_fn
 
     def per_stage(params_stacked, xm_local):
-        params_local = jax.tree_util.tree_map(lambda p: p[0], params_stacked)
+        params_local = tmap(lambda p: p[0], params_stacked)
         stage = lax.axis_index(axis_name)
         M = num_microbatches
         T = M + S - 1
-        outputs = jnp.zeros_like(xm_local)
-        recv = jnp.zeros_like(xm_local[0])
+        outputs = tmap(jnp.zeros_like, xm_local)
+        recv = tmap(lambda l: jnp.zeros_like(l[0]), xm_local)
 
         def tick(carry, t):
             outputs, recv = carry
             # stage 0 consumes microbatch t (clamped; masked out-of-range)
             feed_idx = jnp.clip(t, 0, M - 1)
-            inp = jnp.where(stage == 0, xm_local[feed_idx], recv)
+            inp = tmap(lambda xl, r: jnp.where(stage == 0, xl[feed_idx], r),
+                       xm_local, recv)
             out = fn(params_local, inp)
             # last stage commits microbatch t-(S-1) when in range
             commit = (stage == S - 1) & (t >= S - 1)
             out_idx = jnp.clip(t - (S - 1), 0, M - 1)
-            committed = lax.dynamic_update_index_in_dim(outputs, out, out_idx, 0)
-            outputs = jnp.where(commit, committed, outputs)
+            outputs = tmap(
+                lambda os, o: jnp.where(
+                    commit, lax.dynamic_update_index_in_dim(os, o, out_idx, 0),
+                    os),
+                outputs, out)
             # hand activations to the next stage (ring neighbor copy)
             perm = [(i, (i + 1) % S) for i in range(S)]
-            recv = lax.ppermute(out, axis_name, perm)
+            recv = tmap(lambda o: lax.ppermute(o, axis_name, perm), out)
             return (outputs, recv), None
 
         # scan (not fori_loop) so the schedule is reverse-differentiable:
@@ -92,18 +108,27 @@ def pipeline_apply(
         # with reversed ppermutes — the 1F1B-equivalent of the reference's
         # autograd through Fork/Join (pipeline/sync/dependency.py:28-47)
         (outputs, _), _ = lax.scan(tick, (outputs, recv), jnp.arange(T))
-        return outputs[None]  # re-add stage axis for the out_spec
+        return tmap(lambda o: o[None], outputs)  # stage axis for the out_spec
 
     stage_spec = stage_param_spec if stage_param_spec is not None else \
-        jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
+        tmap(lambda _: P(axis_name), stage_params)
+    if batch_axis is None:
+        in_spec, out_spec = P(), P(axis_name)
+    else:
+        # [M, mb, ...] in, [S, M, mb, ...] out — mb sharded over batch_axis
+        in_spec = tmap(
+            lambda l: P(*([None, batch_axis] + [None] * (l.ndim - 2))), xm)
+        out_spec = tmap(
+            lambda l: P(*([axis_name, None, batch_axis]
+                          + [None] * (l.ndim - 2))), xm)
     out = shard_map(
         per_stage, mesh=mesh,
-        in_specs=(stage_spec, P()),
-        out_specs=P(axis_name),
+        in_specs=(stage_spec, in_spec),
+        out_specs=out_spec,
         check_rep=False,
     )(stage_params, xm)
     # out: [S, M, mb, ...]; the last stage's buffer holds the results
-    return out[-1].reshape(B, *x.shape[1:])
+    return tmap(lambda o: o[-1].reshape(B, *o.shape[3:]), out)
 
 
 def pipeline_train_step(

@@ -609,3 +609,84 @@ def test_grad_accum_runs_and_advances(mesh):
                               grad_accum=2)
     s_b, m_b = step_b(s_b, dup, jnp.asarray(1))
     assert np.isfinite(float(m_b["loss"]))
+
+
+def test_editor_pipeline_train_matches_single_device(mesh):
+    """The REAL EDITOR model trains THROUGH pipeline parallelism: the ViT's
+    depth-stacked blocks are stage-partitioned over a 'stage' mesh
+    (parallel/pipeline_vit.py, the TPU analogue of wrapping the real model
+    in the reference Pipe, distributed/pipeline/sync/pipe.py:172), with the
+    attention-rollout product carried across stage boundaries. Loss and the
+    post-step params match the single-device step, both on a pure 'stage'
+    mesh and on a composed ('data','stage') dp x pp mesh."""
+    from jax.sharding import NamedSharding
+
+    from editor_tpu.config import Config
+    from editor_tpu.engine import build_train_step, make_train_state
+    from editor_tpu.losses import make_loss
+    from editor_tpu.models import EditorConfig, ViTConfig
+    from editor_tpu.models.editor import editor_init
+    from editor_tpu.parallel.pipeline_vit import make_pipeline_backbone
+    from editor_tpu.solver import make_optimizer, make_scheduler
+
+    vit = ViTConfig(img_size=(64, 32), patch_size=16, stride_size=(16, 16),
+                    embed_dim=96, depth=4, num_heads=4, mlp_ratio=2.0,
+                    camera=2, drop_path_rate=0.0)
+    ecfg = EditorConfig(num_classes=4, vit=vit, head_keep=2, frequency_keep=3,
+                        use_pallas=False)
+    cfg = Config()
+    loss_func = make_loss(cfg, 4)
+    lr_fn = make_scheduler(cfg)
+    p, _ = editor_init(jax.random.PRNGKey(0), ecfg)
+    opt = make_optimizer(cfg, p)
+
+    B = 4
+    rng = np.random.RandomState(0)
+    batch = {
+        **{m: jnp.asarray(rng.randn(B, 64, 32, 3), jnp.float32)
+           for m in ("RGB", "NI", "TI")},
+        "pid": jnp.asarray(np.arange(B) % 2),
+        "camid": jnp.zeros((B,), jnp.int32),
+    }
+
+    s_ref = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step_ref = build_train_step(ecfg, opt, loss_func, lr_fn,
+                                cfg.SOLVER.BASE_LR,
+                                compute_dtype=jnp.float32, donate=False)
+    s_ref, m_ref = step_ref(s_ref, batch, jnp.asarray(1))
+
+    # pure pipeline: 4 stages of 1 block, 4 microbatches over the 3B=12
+    # modality-major backbone batch, activation remat inside each stage
+    smesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+    s_pp = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step_pp = build_train_step(
+        ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
+        compute_dtype=jnp.float32, mesh=smesh, donate=False,
+        backbone=make_pipeline_backbone(smesh, num_microbatches=4))
+    s_pp, m_pp = step_pp(s_pp, batch, jnp.asarray(1))
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_pp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+    # composed dp2 x pp4: batch sharded over 'data' THROUGH the pipeline
+    # (pipeline_apply batch_axis), params replicated -> implicit grad psum
+    dmesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "stage"))
+    s_dp = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step_dp = build_train_step(
+        ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
+        compute_dtype=jnp.float32, mesh=dmesh, donate=False,
+        backbone=make_pipeline_backbone(dmesh, num_microbatches=2))
+    batch_d = {k: jax.device_put(v, NamedSharding(dmesh, P("data")))
+               for k, v in batch.items()}
+    s_dp, m_dp = step_dp(s_dp, batch_d, jnp.asarray(1))
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_ref["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
