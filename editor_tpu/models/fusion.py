@@ -79,7 +79,8 @@ def _tile_mask(mask: Array, n_tokens: int) -> Array:
 
 
 def masked_attention_block(p: dict, x: Array, mask: Array, num_heads: int,
-                           use_pallas: bool = True, tp_mesh=None) -> Array:
+                           use_pallas: bool = True, tp_mesh=None,
+                           seq_mesh=None) -> Array:
     """AttentionMask.forward (reference: vit_pytorch.py:240-258)."""
     B, N, C = x.shape
     m = _tile_mask(mask, N)
@@ -89,7 +90,8 @@ def masked_attention_block(p: dict, x: Array, mask: Array, num_heads: int,
     out = masked_attention_from_qkv(qkv, m[..., 0], num_heads,
                                     scale=D ** -0.5, mask_fill=MASK_FILL,
                                     tile=mask.shape[1],
-                                    use_pallas=use_pallas, tp_mesh=tp_mesh)
+                                    use_pallas=use_pallas, tp_mesh=tp_mesh,
+                                    seq_mesh=seq_mesh)
     return linear(p["proj"], out)
 
 
@@ -127,7 +129,7 @@ def _linear_modal(p: dict, x: Array) -> Array:
 
 def _modal_blocks_batched(params: dict, feats: List[Array], mask: Array,
                           num_heads: int, use_pallas: bool,
-                          tp_mesh=None) -> List[Array]:
+                          tp_mesh=None, seq_mesh=None) -> List[Array]:
     """The three per-modality masked attn+MLP residual blocks
     (reference: vit_pytorch.py:311-317) batched modality-major: one LN /
     qkv / attention / MLP dispatch over a [3, B, n, C] tensor instead of
@@ -143,7 +145,8 @@ def _modal_blocks_batched(params: dict, feats: List[Array], mask: Array,
     qkv = _linear_modal(att["qkv"], y * m4).reshape(M * B, n, 3 * C)
     out = masked_attention_from_qkv(qkv, mask_flat, H, scale=D ** -0.5,
                                     mask_fill=MASK_FILL, tile=n,
-                                    use_pallas=use_pallas, tp_mesh=tp_mesh)
+                                    use_pallas=use_pallas, tp_mesh=tp_mesh,
+                                    seq_mesh=seq_mesh)
     out = out.reshape(M, B, n, C)
     X = X + _linear_modal(att["proj"], out)
 
@@ -165,8 +168,13 @@ def blockmask_apply(
     training: bool = False,
     use_pallas: bool = True,
     tp_mesh=None,
+    seq_mesh=None,
 ) -> Tuple[Array, Optional[Array], Dict[str, Array]]:
     """BlockMask.forward (reference: vit_pytorch.py:309-352).
+
+    ``seq_mesh``: run every masked attention sequence-sharded over a 'seq'
+    mesh axis via the masked ring schedule (parallel/ring.py) — the SP
+    demonstration SURVEY §7 scopes to this 3·(1+P)-token fusion block.
 
     Args:
       modal_feats: [RGB, NIR, TIR(optional None)] token tensors [B, 1+P, C].
@@ -184,7 +192,7 @@ def blockmask_apply(
     if all(f is not None for f in modal_feats[:3]) and len(modal_feats) >= 3:
         refined = _modal_blocks_batched(
             params, list(modal_feats[:3]), mask, num_heads, use_pallas,
-            tp_mesh)
+            tp_mesh, seq_mesh)
     else:
         refined = []
         for name, feat in zip(names, modal_feats):
@@ -194,7 +202,7 @@ def blockmask_apply(
             f = feat + masked_attention_block(
                 params[f"attn{name}"],
                 layernorm(params[f"norm{name}"], feat, LN_EPS),
-                mask, num_heads, use_pallas, tp_mesh)
+                mask, num_heads, use_pallas, tp_mesh, seq_mesh)
             f = f + masked_mlp(
                 params[f"mlp{name}"],
                 layernorm(params[f"norm{name}_"], f, LN_EPS), mask)
@@ -211,7 +219,8 @@ def blockmask_apply(
     x = jnp.concatenate(present, axis=1)
     x = x + masked_attention_block(params["attn1"],
                                    layernorm(params["norm1"], x, LN_EPS),
-                                   mask, num_heads, use_pallas, tp_mesh)
+                                   mask, num_heads, use_pallas, tp_mesh,
+                                   seq_mesh)
     x = x + masked_mlp(params["mlp"], layernorm(params["norm2"], x, LN_EPS), mask)
     x = layernorm(params["out_norm"], x, LN_EPS)
     x = x * _tile_mask(mask, x.shape[1]).astype(dtype)

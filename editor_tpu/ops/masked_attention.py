@@ -456,7 +456,8 @@ def masked_attention_from_qkv(qkv: Array, mask: Array, num_heads: int,
                               scale: float, mask_fill: float = -65504.0,
                               tile: int = 129,
                               use_pallas: bool = True,
-                              tp_mesh=None) -> Array:
+                              tp_mesh=None,
+                              seq_mesh=None) -> Array:
     """Masked attention from the raw QKV projection.
 
     qkv: [B, N, 3C] (the natural ``x @ W_qkv`` output); mask: [B, N]
@@ -467,7 +468,28 @@ def masked_attention_from_qkv(qkv: Array, mask: Array, num_heads: int,
     replicated, so the kernel runs per data-shard via shard_map (explicitly
     replicated over 'model') instead of leaving GSPMD to partition a
     pallas_call it cannot reason about.
+
+    ``seq_mesh``: a mesh with a 'seq' axis — the token axis is then
+    sequence-sharded and attention runs as the masked RING schedule
+    (parallel/ring.ring_masked_attention: ppermute k/v/key-mask rotation
+    with the -65504 pair bias folded into the online softmax). N must be
+    divisible by the axis size; the compact-tail token counts are 8-aligned
+    by construction (models/editor._tail_keep_count) so any seq axis
+    dividing 8 works on the flagship model.
     """
+    if seq_mesh is not None and seq_mesh.shape.get("seq", 1) > 1:
+        from editor_tpu.parallel.ring import ring_masked_attention
+
+        B, N, C3 = qkv.shape
+        C = C3 // 3
+        H, D = num_heads, C // num_heads
+        qkv5 = qkv.reshape(B, N, 3, H, D)
+        q = qkv5[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv5[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv5[:, :, 2].transpose(0, 2, 1, 3)
+        out = ring_masked_attention(q, k, v, mask, seq_mesh,
+                                    scale=scale, mask_fill=mask_fill)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, C)
     if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P

@@ -104,6 +104,117 @@ def ring_attention(q: Array, k: Array, v: Array, mesh: Mesh,
     return fn(q, k, v)
 
 
+def _ring_masked_shard(q: Array, k: Array, v: Array, mask: Array, *,
+                       axis_name: str, S: int, scale: float,
+                       fill: float) -> Array:
+    """Per-shard body for HMA masked ring attention: q and its query-mask
+    block stay put; (k, v, key-mask) rotate. The mask bias is the exact
+    reference algebra (vit_pytorch.py:240-258): logits where
+    ``mask_q·mask_k == 0`` are REPLACED by -65504 (finite, so fully-masked
+    rows stay NaN-free), and output rows are re-multiplied by the query
+    mask. The online-softmax recurrence over the filled logits equals the
+    global stabilized softmax over the same filled logits, so this is
+    bit-for-bit the distributed form of ``_xla_masked_attention``'s math.
+    """
+    B, H, nq, D = q.shape
+    mq = mask.astype(jnp.float32)                        # [B, nq] local
+    m = jnp.full((B, H, nq), -jnp.inf, jnp.float32)
+    den = jnp.zeros((B, H, nq), jnp.float32)
+    acc = jnp.zeros((B, H, nq, D), jnp.float32)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def step(_, carry):
+        m, den, acc, k, v, mk = carry
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        pair = mq[:, None, :, None] * mk[:, None, None, :]  # [B,1,nq,nk]
+        logits = jnp.where(pair == 0, fill, logits)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        den = den * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32)
+        k = jax.lax.ppermute(k, axis_name, perm)
+        v = jax.lax.ppermute(v, axis_name, perm)
+        mk = jax.lax.ppermute(mk, axis_name, perm)
+        return m_new, den, acc, k, v, mk
+
+    init = (m, den, acc, k, v, mq)
+    m, den, acc, k, v, mk = jax.lax.fori_loop(0, S, step, init)
+    out = acc / den[..., None] * mq[:, None, :, None]    # re-mask query rows
+    return out.astype(q.dtype)
+
+
+def ring_masked_attention(q: Array, k: Array, v: Array, mask: Array,
+                          mesh: Mesh, seq_axis: str = "seq",
+                          scale: Optional[float] = None,
+                          mask_fill: float = -65504.0) -> Array:
+    """HMA masked attention (ops/masked_attention semantics) with the
+    sequence ring-sharded over ``seq_axis`` — the k/v rotation carries the
+    key-token mask so every block applies the reference's -65504 pair bias.
+
+    q/k/v: [B, H, N, D]; mask: [B, N] (1 = keep), both N-sharded over
+    ``seq_axis``. Parity vs ``_xla_masked_attention`` is asserted in
+    tests/test_ring.py.
+    """
+    S = mesh.shape[seq_axis]
+    if q.shape[2] % S:
+        raise ValueError(f"sequence {q.shape[2]} not divisible by "
+                         f"{seq_axis}={S}")
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    spec = P(None, None, seq_axis, None)
+    fn = shard_map(
+        functools.partial(_ring_masked_shard, axis_name=seq_axis, S=S,
+                          scale=scale, fill=mask_fill),
+        mesh=mesh, in_specs=(spec, spec, spec, P(None, seq_axis)),
+        out_specs=spec, check_rep=False)
+    return fn(q, k, v, mask)
+
+
+def _ulysses_masked_shard(q: Array, k: Array, v: Array, mask: Array, *,
+                          axis_name: str, S: int, scale: float,
+                          fill: float) -> Array:
+    """Per-shard body: all_to_all to head sharding, full masked attention
+    (reference -65504 algebra) on the gathered sequence, all_to_all back.
+    The token mask is all-gathered — it is [B, N] bits, noise next to the
+    gathered k/v blocks."""
+    from editor_tpu.ops.masked_attention import _xla_masked_attention
+
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=axis_name,
+                            split_axis=1, concat_axis=2, tiled=True)
+    qh, kh, vh = a2a(q), a2a(k), a2a(v)          # [B, H/S, N, D]
+    mfull = jax.lax.all_gather(mask, axis_name, axis=1, tiled=True)  # [B, N]
+    out = _xla_masked_attention(qh, kh, vh, mfull, scale, fill)
+    return jax.lax.all_to_all(out, axis_name=axis_name, split_axis=2,
+                              concat_axis=1, tiled=True)
+
+
+def ulysses_masked_attention(q: Array, k: Array, v: Array, mask: Array,
+                             mesh: Mesh, seq_axis: str = "seq",
+                             scale: Optional[float] = None,
+                             mask_fill: float = -65504.0) -> Array:
+    """Ulysses-style HMA masked attention: sequence-sharded in/out, heads
+    sharded inside (H must divide by the axis size). Same reference masking
+    semantics as :func:`ring_masked_attention`."""
+    S = mesh.shape[seq_axis]
+    if q.shape[1] % S:
+        raise ValueError(f"heads {q.shape[1]} not divisible by "
+                         f"{seq_axis}={S}")
+    if q.shape[2] % S:
+        raise ValueError(f"sequence {q.shape[2]} not divisible by "
+                         f"{seq_axis}={S}")
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    spec = P(None, None, seq_axis, None)
+    fn = shard_map(
+        functools.partial(_ulysses_masked_shard, axis_name=seq_axis, S=S,
+                          scale=scale, fill=mask_fill),
+        mesh=mesh, in_specs=(spec, spec, spec, P(None, seq_axis)),
+        out_specs=spec, check_rep=False)
+    return fn(q, k, v, mask)
+
+
 def _ulysses_shard(q: Array, k: Array, v: Array, *, axis_name: str, S: int,
                    scale: float) -> Array:
     """Per-shard body: [B, H, nq, D] sequence-sharded in, same out."""
