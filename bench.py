@@ -1,20 +1,32 @@
 """Benchmark: RGBNT201 tri-modal EDITOR images/sec/chip (eval + train).
 
 Runs the flagship ViT-B/16 EDITOR eval forward (3 modalities, SFTS + HMA,
-256x128) in bf16 on the available accelerator and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
-   "train_img_per_sec": N}
+256x128) in bf16 on the available accelerator and prints ONE JSON line with
+the throughputs AND the self-certification the numbers rest on
+(round-2 verdict task 4a):
 
-value/vs_baseline are the eval path; train_img_per_sec measures the full
-jitted training step (forward + loss + backward + SGD update, block remat,
-batch 128 — the reference's samples/s log, engine/processor.py:104-118).
+  value / vs_baseline     eval images/sec/chip vs the 4000 img/s target
+  train_img_per_sec       full jitted train step (fwd+loss+bwd+SGD, remat)
+  model_tflop_per_image   analytic matmul FLOPs (2mnk) of one tri-modal
+                          eval forward — counted from the model dims, NOT
+                          from XLA cost analysis (Pallas custom calls are
+                          opaque to it)
+  achieved_tflops / mfu   model_tflop_per_image * img/s, over the 149.6
+                          TF/s bf16 peak MEASURED on this v5e (BASELINE.md)
+  train_mfu               3x forward FLOPs (1 fwd + 2x bwd) — remat
+                          recompute deliberately NOT counted as useful work
+  pct_of_composite_floor  measured eval ms vs the ~99 ms sum-of-stage-floors
+                          profile in BASELINE.md (per-stage bases there)
+  serving_p50_ms/p99_ms   batch-1 single-image latency through
+                          serve.FeatureExtractor's power-of-two buckets
 
 vs_baseline is measured throughput / BASELINE_TARGET, where BASELINE_TARGET
 is 5x an estimated A100 torch-eager throughput for the same model
 (BASELINE.md: the reference publishes no throughput; 800 img/s is a
-deliberately generous estimate for fp16 torch eager tri-modal ViT-B with 12
-retained attention maps at batch 64, so the target is 4000 img/s/chip —
-physically unreachable on a v5e; see BASELINE.md "speed of light").
+deliberately generous estimate, so the target is 4000 img/s/chip —
+physically unreachable on a v5e: it implies ~270 TF/s of model flops vs the
+149.6 TF/s measured chip peak; see BASELINE.md "speed of light". The mfu
+and floor fields exist so the JSON is self-certifying against that target.)
 """
 
 from __future__ import annotations
@@ -28,6 +40,61 @@ import numpy as np
 
 A100_EST_IMG_PER_SEC = 800.0
 BASELINE_TARGET = 5.0 * A100_EST_IMG_PER_SEC
+# measured on THIS chip: 8192^3 bf16 matmul sustained (BASELINE.md table)
+CHIP_PEAK_TFLOPS = 149.6
+# sum-of-stage-floors for the eval path at B=128 (BASELINE.md per-stage
+# table: backbone matmuls at peak + attention HBM/VPU + rollout bandwidth
+# + frequency + compact tail, minus measured overlap)
+COMPOSITE_FLOOR_MS = 99.0
+
+
+def model_tflop_per_image(ecfg) -> float:
+    """Analytic matmul FLOPs (2mnk convention) of ONE tri-modal eval
+    forward, per image. Mirrors the term-by-term accounting in BASELINE.md
+    ("~8.4 TFLOP backbone + ~1.4 TFLOP fusion per batch of 128")."""
+    v = ecfg.vit
+    M = ecfg.num_modalities
+    C = v.embed_dim
+    H = int(C * v.mlp_ratio)
+    P = v.num_patches
+    N = P + 1
+    Z = M  # token streams per image (backbone batch is modality-major 3B)
+
+    fl = 0.0
+    # patchify conv: [P, ps*ps*3] @ [ps*ps*3, C] per modality
+    fl += M * 2.0 * P * (v.patch_size * v.patch_size * v.in_chans) * C
+    # ViT blocks
+    per_layer = (2.0 * N * C * 3 * C      # qkv
+                 + 2.0 * N * N * C        # q@k^T
+                 + 2.0 * N * N * C        # probs@v
+                 + 2.0 * N * C * C        # proj
+                 + 2.0 * N * C * H        # fc1
+                 + 2.0 * N * H * C)       # fc2
+    fl += Z * v.depth * per_layer
+    # rollout reverse vector chain: L vector-matrix products per stream
+    fl += Z * v.depth * 2.0 * v.num_heads * N * N
+    # compact-tail one-hot gathers: [keep, P] @ [P, C] per modality
+    from editor_tpu.models.editor import _tail_keep_count
+    keep = _tail_keep_count(ecfg, M) if ecfg.compact_tail else P
+    fl += M * 2.0 * keep * P * C
+    # fusion block (bias-free linears, dim C, mlp 4C): per-modality blocks
+    # on t=1+keep tokens, then the joint block on T=M*t tokens
+    t = keep + 1
+    T = M * t
+    Hf = 4 * C
+
+    def attn_block(tokens):
+        return (2.0 * tokens * C * 3 * C + 4.0 * tokens * tokens * C
+                + 2.0 * tokens * C * C)
+
+    def mlp_block(tokens):
+        return 2.0 * tokens * C * Hf * 2
+
+    fl += M * (attn_block(t) + mlp_block(t))     # per-modality blocks
+    fl += attn_block(T) + mlp_block(T)           # joint block
+    # reduce heads: M x [2C] @ [2C, C]
+    fl += M * 2.0 * 2 * C * C
+    return fl / 1e12
 
 
 def main():
@@ -63,8 +130,14 @@ def main():
     float(jnp.sum(out))  # host readback = completion barrier
     dt = time.perf_counter() - t0
     ips = B * iters / dt
+    eval_ms = 1000.0 * dt / iters
 
     train_ips = bench_train(on_tpu)
+    p50, p99 = bench_serving(on_tpu, ecfg, params, state)
+
+    tflop_img = model_tflop_per_image(ecfg)
+    achieved = tflop_img * ips
+    train_achieved = 3.0 * tflop_img * train_ips  # fwd + 2x bwd, no remat
 
     print(json.dumps({
         "metric": "rgbnt201_trimodal_feature_extraction",
@@ -72,6 +145,16 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_TARGET, 4),
         "train_img_per_sec": round(train_ips, 2),
+        "model_tflop_per_image": round(tflop_img, 5),
+        "achieved_tflops": round(achieved, 2),
+        "mfu": round(achieved / CHIP_PEAK_TFLOPS, 4),
+        "train_mfu": round(train_achieved / CHIP_PEAK_TFLOPS, 4),
+        "chip_peak_tflops": CHIP_PEAK_TFLOPS,
+        "eval_ms_batch128": round(eval_ms, 2) if on_tpu else None,
+        "pct_of_composite_floor": (
+            round(COMPOSITE_FLOOR_MS / eval_ms, 4) if on_tpu else None),
+        "serving_p50_ms": round(p50, 2),
+        "serving_p99_ms": round(p99, 2),
     }))
 
 
@@ -119,6 +202,32 @@ def bench_train(on_tpu: bool) -> float:
     float(metrics["loss"])
     dt = time.perf_counter() - t0
     return B * iters / dt
+
+
+def bench_serving(on_tpu: bool, ecfg, params, model_state):
+    """Batch-1 single-image latency through serve.FeatureExtractor (its
+    power-of-two tail buckets make a 1-image query cost one image of
+    compute). Returns (p50_ms, p99_ms)."""
+    from editor_tpu.config import Config
+    from editor_tpu.serve import FeatureExtractor
+
+    cfg = Config()
+    cfg.INPUT.SIZE_TEST = tuple(ecfg.vit.img_size)
+    fx = FeatureExtractor(cfg, ecfg, params, model_state, batch_size=32,
+                          compute_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(2)
+    h, w = ecfg.vit.img_size
+    req = {m: rng.randint(0, 255, (1, h, w, 3), np.uint8)
+           for m in ("RGB", "NI", "TI")}
+    fx(req)  # compile the 1-image bucket
+    lats = []
+    for _ in range(50 if on_tpu else 3):
+        t0 = time.perf_counter()
+        fx(req)
+        lats.append(1000.0 * (time.perf_counter() - t0))
+    lats.sort()
+    return lats[len(lats) // 2], lats[min(len(lats) - 1,
+                                          int(len(lats) * 0.99))]
 
 
 if __name__ == "__main__":

@@ -173,7 +173,9 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                                 compute_dtype=compute_dtype, mesh=mesh,
                                 donate=cfg.TPU.DONATE, augment=augment,
                                 state_shardings=state_shardings,
-                                grad_accum=cfg.TPU.GRAD_ACCUM)
+                                grad_accum=cfg.TPU.GRAD_ACCUM,
+                                gather_params_compute=(
+                                    cfg.TPU.ZERO_STAGE == 3))
 
     ckpt_mgr = None
     start_epoch = 1

@@ -65,6 +65,7 @@ def build_train_step(
     state_shardings: Optional[Any] = None,
     grad_accum: int = 1,
     backbone: Optional[Callable] = None,
+    gather_params_compute: bool = False,
 ) -> Callable:
     """Returns step(state, batch, epoch) -> (state, metrics).
 
@@ -80,6 +81,16 @@ def build_train_step(
     data/transforms.make_train_augment) it runs INSIDE the jitted step with a
     distinct PRNG key per modality (independent per-modality augmentation,
     reference bases.py:89-107).
+
+    ``gather_params_compute`` (set for FSDP/ZeRO-3): all-gather the params
+    once at the top of the step and run the model on the gathered copies.
+    Storage stays sharded (``state_shardings``); without the explicit gather
+    GSPMD propagates the per-leaf storage shardings (e.g. a channel-dim
+    split of the patchify kernel) into the activations, where they collide
+    with the batch-dim sharding inside the scan carries and force an
+    involuntary full rematerialization. Gradients are constrained back to
+    the storage shardings, which XLA's collective optimizer turns into the
+    ZeRO reduce-scatter.
 
     ``grad_accum > 1`` splits the batch into that many microbatches inside
     the jitted step (lax.scan), summing gradients and stepping the optimizer
@@ -108,6 +119,23 @@ def build_train_step(
                       for k in ("RGB", "NI", "TI") if k in batch}
         labels = batch["pid"]
         cams = batch.get("camid")
+
+        # compute-side copy of the params (FSDP: one explicit all-gather)
+        params_c = state.params
+        if gather_params_compute and mesh is not None:
+            params_c = jax.lax.with_sharding_constraint(
+                state.params, NamedSharding(mesh, P()))
+        # final grads pinned to the STORAGE shardings so the optimizer
+        # update runs sharded (the ZeRO reduce-scatter). This must happen
+        # ONCE, outside the microbatch loop: pinning the per-microbatch
+        # grads (or the accumulator carry) back-propagates the weight
+        # storage shardings into the cotangent activation stream inside
+        # the depth scan, where they collide with the batch sharding and
+        # force an involuntary full rematerialization ([SPMD] warning).
+        constrain = (
+            (lambda t: jax.lax.with_sharding_constraint(
+                t, state_shardings.params))
+            if state_shardings is not None else (lambda t: t))
 
         def loss_of(params, mstate, imgs, lbls, cms, rng):
             out, new_mstate = editor_apply(
@@ -139,7 +167,7 @@ def build_train_step(
                 mstate, gsum, lsum, asum = carry
                 imgs_i, lbls_i, cms_i, rng_i = x
                 (l, (mstate, a)), g = jax.value_and_grad(
-                    loss_of, has_aux=True)(state.params, mstate, imgs_i,
+                    loss_of, has_aux=True)(params_c, mstate, imgs_i,
                                            lbls_i, cms_i, rng_i)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 return (mstate, gsum, lsum + l, asum + a), None
@@ -149,12 +177,14 @@ def build_train_step(
             (new_mstate, gsum, lsum, asum), _ = jax.lax.scan(
                 body, (state.model_state, gzero, zero, zero), xs)
             inv = 1.0 / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            grads = constrain(
+                jax.tree_util.tree_map(lambda g: g * inv, gsum))
             loss, acc = lsum * inv, asum * inv
         else:
             (loss, (new_mstate, acc)), grads = jax.value_and_grad(
-                loss_of, has_aux=True)(state.params, state.model_state,
+                loss_of, has_aux=True)(params_c, state.model_state,
                                        images, labels, cams, step_rng)
+            grads = constrain(grads)
         lr = lr_fn(epoch, base_lr)
         new_params, new_opt = optimizer.update(grads, state.opt_state,
                                               state.params, lr)

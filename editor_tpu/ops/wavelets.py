@@ -50,18 +50,110 @@ _REC_LO: Dict[str, List[float]] = {
     "sym4": [0.03222310060404270, -0.012603967262037833, -0.09921954357684722,
              0.29785779560527736, 0.8037387518059161, 0.49761866763201545,
              -0.02963552764599851, -0.07576571478927333],
+    # coiflets (standard published values, e.g. Daubechies "Ten Lectures"
+    # table 8.1 — verified by the orthonormality/vanishing-moment/PR
+    # property suite in tests/test_wavelets.py)
+    "coif1": [-0.01565572813546454, -0.0727326195128539, 0.38486484686420286,
+              0.8525720202122554, 0.3378976624578092, -0.0727326195128539],
+    "coif2": [-0.000720549445364512, -0.0018232088707029932,
+              0.0056114348193944995, 0.023680171946334084,
+              -0.0594344186464569, -0.0764885990783064, 0.41700518442169254,
+              0.8127236354455423, 0.3861100668211622, -0.06737255472196302,
+              -0.04146493678175915, 0.016387336463522112],
+}
+
+# biorthogonal families as (dec_lo, rec_lo) in the pywt zero-padded layout;
+# the hi filters follow from the biorthogonal alternating-sign relations
+# (dec_hi[n] = (-1)^(n+1) rec_lo[n], rec_hi[n] = (-1)^n dec_lo[n] — opposite
+# parities, the alias-cancellation condition; PR through afb1d/sfb1d is
+# asserted in tests/test_wavelets.py).
+# bior2.2 is the LeGall/CDF 5/3 pair and bior4.4 the CDF 9/7 (Antonini/
+# JPEG2000) pair, both x sqrt(2) — the same published spline-wavelet tables
+# the DTCWT level-1 'legall'/'antonini' options use (ops/dtcwt.py).
+_S2 = math.sqrt(2.0)
+_BIOR: Dict[str, Tuple[List[float], List[float]]] = {
+    "bior1.1": ([SQRT2_INV, SQRT2_INV], [SQRT2_INV, SQRT2_INV]),
+    "bior1.3": ([-1 / (8 * _S2), 1 / (8 * _S2), SQRT2_INV, SQRT2_INV,
+                 1 / (8 * _S2), -1 / (8 * _S2)],
+                [0.0, 0.0, SQRT2_INV, SQRT2_INV, 0.0, 0.0]),
+    "bior2.2": ([0.0, -0.125 * _S2, 0.25 * _S2, 0.75 * _S2, 0.25 * _S2,
+                 -0.125 * _S2],
+                [0.0, 0.25 * _S2, 0.5 * _S2, 0.25 * _S2, 0.0, 0.0]),
+    "bior4.4": ([0.0,
+                 0.026748757410810106 * _S2, -0.01686411844287467 * _S2,
+                 -0.07822326652899052 * _S2, 0.2668641184428749 * _S2,
+                 0.6029490182363593 * _S2, 0.2668641184428749 * _S2,
+                 -0.07822326652899052 * _S2, -0.01686411844287467 * _S2,
+                 0.026748757410810106 * _S2],
+                [0.0,
+                 -0.045635881557125636 * _S2, -0.028771763114250094 * _S2,
+                 0.2956358815571257 * _S2, 0.5575435262285023 * _S2,
+                 0.2956358815571257 * _S2, -0.028771763114250094 * _S2,
+                 -0.045635881557125636 * _S2, 0.0, 0.0]),
 }
 
 
+def daubechies_rec_lo(N: int) -> np.ndarray:
+    """Derive the order-N Daubechies scaling filter (2N taps) by spectral
+    factorization — the textbook construction, no coefficient tables:
+    P(y) = Σ_{k<N} C(N-1+k, k) y^k; its z-domain roots pair (z, 1/z);
+    keeping the |z| < 1 roots (minimum phase = the standard db family)
+    against the ((1+z)/2)^N spline factor and normalizing to Σh = sqrt(2)
+    reproduces pywt's db1..dbN to ~1e-10 (asserted vs the embedded db2-4
+    values in tests/test_wavelets.py)."""
+    if N < 1:
+        raise ValueError("db order must be >= 1")
+    if N == 1:
+        return np.asarray([SQRT2_INV, SQRT2_INV])
+    from math import comb
+    # P(y) coefficients, highest degree first for np.roots
+    P = np.asarray([comb(N - 1 + k, k) for k in range(N)], np.float64)[::-1]
+    yroots = np.roots(P)
+    zroots = []
+    for y in yroots:
+        # y = (2 - z - 1/z)/4  =>  z^2 - (2 - 4y) z + 1 = 0
+        b = 2.0 - 4.0 * y
+        disc = np.sqrt(b * b - 4.0 + 0j)
+        for z in ((b + disc) / 2.0, (b - disc) / 2.0):
+            if abs(z) < 1.0 - 1e-12:
+                zroots.append(z)
+    # h(z) = ((1+z)/2)^N * prod (z - z_i) / (normalization)
+    h = np.asarray([1.0 + 0j])
+    for _ in range(N):
+        h = np.convolve(h, [0.5, 0.5])
+    for z in zroots:
+        h = np.convolve(h, [1.0, -z])
+    h = np.real(h)
+    h *= math.sqrt(2.0) / h.sum()
+    # standard db ordering starts with the largest-magnitude end first
+    if abs(h[0]) < abs(h[-1]):
+        h = h[::-1]
+    return h.copy()
+
+
 def wavelet_filters(wave) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (dec_lo, dec_hi, rec_lo, rec_hi) float64 arrays (pywt convention).
-    ``wave`` may also be an explicit 4-tuple of coefficient arrays (used by the
-    DTCWT's q-shift banks)."""
+    """Returns (dec_lo, dec_hi, rec_lo, rec_hi) float64 arrays (pywt
+    convention). ``wave`` may be: an explicit 4-tuple of coefficient arrays
+    (the DTCWT's q-shift banks use this escape hatch), an orthogonal family
+    name (haar, db1..db20 — db5+ derived by spectral factorization — sym2,
+    sym4, coif1, coif2), or a biorthogonal name (bior1.1/1.3/2.2/4.4)
+    (reference name surface: pytorch_wavelets/dwt/transform2d.py:22-26
+    reaches any pywt wavelet by name)."""
     if isinstance(wave, tuple):
         return tuple(np.asarray(f, np.float64) for f in wave)
-    if wave not in _REC_LO:
-        raise ValueError(f"unknown wavelet '{wave}'; have {sorted(_REC_LO)}")
-    rec_lo = np.asarray(_REC_LO[wave], dtype=np.float64)
+    if wave in _BIOR:
+        dec_lo = np.asarray(_BIOR[wave][0], np.float64)
+        rec_lo = np.asarray(_BIOR[wave][1], np.float64)
+        sgn = np.asarray([(-1.0) ** (n + 1) for n in range(len(dec_lo))])
+        return dec_lo, sgn * rec_lo, rec_lo, -sgn * dec_lo
+    if wave in _REC_LO:
+        rec_lo = np.asarray(_REC_LO[wave], dtype=np.float64)
+    elif wave.startswith("db") and wave[2:].isdigit() and int(wave[2:]) <= 20:
+        rec_lo = daubechies_rec_lo(int(wave[2:]))
+    else:
+        raise ValueError(
+            f"unknown wavelet '{wave}'; have {sorted(_REC_LO)}, "
+            f"{sorted(_BIOR)}, db1..db20, or an explicit filter 4-tuple")
     L = len(rec_lo)
     # qmf: rec_hi[n] = (-1)^n rec_lo[L-1-n]
     rec_hi = np.array([(-1) ** n * rec_lo[L - 1 - n] for n in range(L)])

@@ -26,22 +26,53 @@ from typing import Any
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from editor_tpu.parallel.zero import _leaf_spec
+from editor_tpu.parallel.zero import _MIN_SHARD_ELEMS
+
+
+def _fsdp_leaf_spec(leaf: Any, size: int) -> P:
+    """FSDP storage spec for one leaf: shard the largest ``size``-divisible
+    EXPANSION dim (strictly larger than every other non-leading dim — the
+    3C/4C hidden widths, class counts).
+
+    Unlike the ZeRO-1 spec (optimizer state never enters the model graph),
+    param storage shardings are visible to GSPMD propagation inside the
+    forward/backward: sharding a dim of the residual width C (a square
+    attention-proj matrix, a conv kernel's output channels) propagates a
+    channel sharding into the activation / cotangent streams, where it
+    collides with the batch sharding inside the depth-scan carries and
+    forces an involuntary full rematerialization ([SPMD] warning). Hence:
+    rank-4 spatial kernels and square matrices stay replicated; only dims
+    that die inside one layer are sharded.
+    """
+    shape = getattr(leaf, "shape", ())
+    if not shape or leaf.size < max(2 * size, _MIN_SHARD_ELEMS):
+        return P()
+    if len(shape) >= 4:  # spatial conv kernels feed the residual stream
+        return P()
+    for ax in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if shape[ax] % size or shape[ax] < size:
+            continue
+        others = [shape[i] for i in range(len(shape)) if i not in (ax, 0)]
+        if all(shape[ax] > o for o in others):
+            spec = [None] * len(shape)
+            spec[ax] = "data"
+            return P(*spec)
+    return P()
 
 
 def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Per-leaf NamedShardings sharding each large leaf over ``axis``.
 
     Works for params, gradients (same pytree), and optimizer state alike;
-    leaves too small to split (or with no ``axis``-divisible dimension)
-    stay replicated — they carry no memory win and sharding them would only
-    add collective latency.
+    leaves too small to split (or with no ``axis``-divisible expansion
+    dimension — see ``_fsdp_leaf_spec``) stay replicated — they carry no
+    memory win and sharding them would only add collective latency.
     """
     size = mesh.shape[axis]
     def spec_of(leaf):
-        p = _leaf_spec(leaf, size)
+        p = _fsdp_leaf_spec(leaf, size)
         if axis != "data" and any(p):
             p = type(p)(*[axis if s == "data" else s for s in p])
         return NamedSharding(mesh, p)
@@ -65,6 +96,6 @@ def param_memory_bytes(params: Any, per_device: bool, mesh: Mesh,
             continue
         n = int(np.prod(leaf.shape)) * leaf.dtype.itemsize
         total += n
-        spec = _leaf_spec(leaf, size)
+        spec = _fsdp_leaf_spec(leaf, size)
         per += n // size if any(spec) else n
     return per if per_device else total

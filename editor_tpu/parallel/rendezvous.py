@@ -14,9 +14,12 @@ a waiting set that running agents observe via ``num_nodes_waiting`` to
 decide to re-rendezvous (the reference's scale-up path,
 agent/server/api.py:872-884).
 
-The store is a tiny TCP key-value server with set/get/add/wait — the
-TCPStore equivalent; state lives in one JSON blob updated by
-compare-and-swap so concurrent joins are race-free.
+The store is a tiny TCP key-value server with set/get/add/wait plus a
+BLOCKING ``wait_ne`` (server-side condition variable) — the TCPStore
+equivalent; state lives in one JSON blob updated by compare-and-swap so
+concurrent joins are race-free, and waiters park on the blob instead of
+polling. Liveness: per-node heartbeat keys with TTL expiry give dead-node
+detection and scale-down membership (see :class:`DynamicRendezvous`).
 """
 
 from __future__ import annotations
@@ -64,10 +67,12 @@ class _StoreHandler(socketserver.BaseRequestHandler):
             return
         store = self.server.kv  # type: ignore[attr-defined]
         lock = self.server.kv_lock  # type: ignore[attr-defined]
+        cond = self.server.kv_cond  # type: ignore[attr-defined]
         op = msg["op"]
         if op == "set":
             with lock:
                 store[msg["key"]] = msg["value"]
+                cond.notify_all()
             _send(self.request, {"ok": True})
         elif op == "get":
             with lock:
@@ -78,6 +83,7 @@ class _StoreHandler(socketserver.BaseRequestHandler):
                 cur = store.get(msg["key"])
                 if cur == msg["expect"]:
                     store[msg["key"]] = msg["value"]
+                    cond.notify_all()
                     _send(self.request, {"ok": True, "value": msg["value"]})
                 else:
                     _send(self.request, {"ok": False, "value": cur})
@@ -85,11 +91,35 @@ class _StoreHandler(socketserver.BaseRequestHandler):
             with lock:
                 cur = int(store.get(msg["key"], 0)) + int(msg["delta"])
                 store[msg["key"]] = cur
+                cond.notify_all()
             _send(self.request, {"ok": True, "value": cur})
         elif op == "delete":
             with lock:
                 existed = store.pop(msg["key"], None) is not None
+                cond.notify_all()
             _send(self.request, {"ok": existed})
+        elif op == "wait_ne":
+            # BLOCKING read: hold the connection until store[key] differs
+            # from the client's last-seen value, then return the new value.
+            # This is the notify path that makes a parked rendezvous node
+            # race-free: the current value is compared UNDER THE SAME LOCK
+            # that every mutation takes, so a round restart landing between
+            # the client's read and its wait cannot be missed (the
+            # lost-wakeup hazard of the previous poll-only protocol).
+            deadline = time.time() + float(msg.get("timeout", 30.0))
+            with lock:
+                while True:
+                    cur = store.get(msg["key"])
+                    if cur != msg["not_value"]:
+                        _send(self.request,
+                              {"ok": True, "changed": True, "value": cur})
+                        return
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        _send(self.request,
+                              {"ok": True, "changed": False, "value": cur})
+                        return
+                    cond.wait(remaining)
 
 
 class _StoreServer(socketserver.ThreadingTCPServer):
@@ -115,6 +145,7 @@ class TCPStore:
             self.server = _StoreServer((host, port), _StoreHandler)
             self.server.kv = {}
             self.server.kv_lock = threading.Lock()
+            self.server.kv_cond = threading.Condition(self.server.kv_lock)
             threading.Thread(target=self.server.serve_forever,
                              daemon=True).start()
 
@@ -128,8 +159,10 @@ class TCPStore:
                     raise
                 time.sleep(0.25)
 
-    def _call(self, msg):
+    def _call(self, msg, sock_timeout: Optional[float] = None):
         with self._connect() as s:
+            if sock_timeout is not None:
+                s.settimeout(sock_timeout)
             _send(s, msg)
             return _recv(s)
 
@@ -152,12 +185,23 @@ class TCPStore:
 
     def wait(self, key: str, timeout: float = 30.0):
         deadline = time.time() + timeout
-        while time.time() < deadline:
-            v = self.get(key)
-            if v is not None:
+        while True:
+            changed, v = self.wait_ne(
+                key, None, timeout=max(0.0, deadline - time.time()))
+            if changed:
                 return v
-            time.sleep(0.05)
-        raise TimeoutError(f"store key {key!r} not set within {timeout}s")
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"store key {key!r} not set within {timeout}s")
+
+    def wait_ne(self, key: str, not_value, timeout: float = 30.0):
+        """Block (server-side, condition-variable) until ``store[key]``
+        differs from ``not_value`` or the timeout lapses.
+        Returns (changed, current_value) — never raises on timeout."""
+        r = self._call({"op": "wait_ne", "key": key, "not_value": not_value,
+                        "timeout": timeout},
+                       sock_timeout=timeout + 15.0)  # outlive the block
+        return r["changed"], r["value"]
 
     def close(self):
         if self.server is not None:
@@ -170,73 +214,169 @@ class DynamicRendezvous:
     State blob (one JSON value, CAS-updated):
       {"round": N, "participants": {node_id: join_ts},
        "waiting": {node_id: ts}, "complete": bool}
+
+    Liveness (reference dynamic_rendezvous.py:206-207,353,446-462): every
+    node owns a HEARTBEAT key ``{key}/hb/{node}`` refreshed on join, on
+    every pass through :meth:`next_rendezvous`, and by the background
+    :meth:`start_keepalive` thread while workers run. A node whose last
+    heartbeat is older than ``keep_alive_interval * keep_alive_max_attempt``
+    is DEAD: joining nodes prune dead participants from an un-settled round,
+    and the agent detects scale-DOWN of a completed round via
+    :meth:`num_nodes_dead` / :meth:`dead_nodes` and re-rendezvouses —
+    membership shrink no longer rests solely on worker-failure restarts.
+
+    Blocking: all waits go through the store's ``wait_ne`` (server-side
+    condition variable keyed on the same lock every mutation takes), so a
+    round restart can never race past a parked node — the lost-wakeup
+    hazard of the previous poll-only loop.
     """
 
     def __init__(self, store: TCPStore, run_id: str, min_nodes: int,
                  max_nodes: int, settle_s: float = 0.3,
-                 node_id: Optional[str] = None):
+                 node_id: Optional[str] = None,
+                 keep_alive_interval: float = 5.0,
+                 keep_alive_max_attempt: int = 3):
         self.store = store
         self.key = f"rdzv/{run_id}"
         self.min_nodes = min_nodes
         self.max_nodes = max_nodes
         self.settle_s = settle_s
         self.node_id = node_id or uuid.uuid4().hex[:8]
+        self.keep_alive_interval = keep_alive_interval
+        self.keep_alive_max_attempt = keep_alive_max_attempt
 
     # -- state helpers -----------------------------------------------------
+    _EMPTY = {"round": 0, "participants": {}, "waiting": {},
+              "complete": False}
+
     def _state(self) -> Dict:
-        return self.store.get(self.key) or {
-            "round": 0, "participants": {}, "waiting": {}, "complete": False}
+        return self.store.get(self.key) or dict(self._EMPTY)
 
     def _cas(self, old, new) -> bool:
         expect = None if old is None else old
         ok, _ = self.store.compare_and_swap(self.key, expect, new)
         return ok
 
+    # -- liveness ------------------------------------------------------------
+    @property
+    def _ttl(self) -> float:
+        return self.keep_alive_interval * self.keep_alive_max_attempt
+
+    def keep_alive(self) -> None:
+        """Refresh this node's heartbeat (reference _KeepAliveOp,
+        dynamic_rendezvous.py:446-462)."""
+        self.store.set(f"{self.key}/hb/{self.node_id}", time.time())
+
+    def start_keepalive(self) -> threading.Event:
+        """Background heartbeat thread for the worker/agent lifetime of a
+        completed round (reference _PeriodicTimer keep-alive,
+        dynamic_rendezvous.py:206-207). Returns the stop event."""
+        stop = threading.Event()
+
+        def beat():
+            while not stop.is_set():
+                try:
+                    self.keep_alive()
+                except OSError:
+                    pass  # store teardown mid-beat: the TTL handles the rest
+                stop.wait(self.keep_alive_interval)
+
+        threading.Thread(target=beat, daemon=True).start()
+        return stop
+
+    def dead_nodes(self, participants: Optional[Dict] = None) -> list:
+        """Participants whose heartbeat exceeded the TTL (scale-down
+        signal; reference _sanitize, dynamic_rendezvous.py:353)."""
+        if participants is None:
+            participants = self._state()["participants"]
+        now = time.time()
+        dead = []
+        for node, join_ts in participants.items():
+            hb = self.store.get(f"{self.key}/hb/{node}")
+            last = max(float(hb), join_ts) if hb is not None else join_ts
+            if now - last > self._ttl:
+                dead.append(node)
+        return sorted(dead)
+
+    def num_nodes_dead(self) -> int:
+        """Scale-DOWN signal the agent polls next to num_nodes_waiting."""
+        return len(self.dead_nodes())
+
     # -- public API (reference RendezvousHandler, elastic/rendezvous/api.py:33)
+    def _wait_changed(self, last_raw, deadline: float,
+                      cap: Optional[float] = None) -> None:
+        """Block until the state blob differs from ``last_raw`` (notify
+        path), the cap lapses (settle checks are time-based), or the
+        deadline passes. Bounded by keep_alive_interval so the caller's
+        heartbeat refresh in the loop head can never starve."""
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            raise TimeoutError("rendezvous did not complete")
+        t = min(remaining, self.keep_alive_interval)
+        if cap is not None:
+            t = min(t, max(cap, 0.01))
+        self.store.wait_ne(self.key, last_raw, timeout=t)
+
     def next_rendezvous(self, timeout: float = 30.0) -> Tuple[int, int, int]:
         """Join the current round; block until it settles.
         Returns (round, rank, world_size)."""
         deadline = time.time() + timeout
         while time.time() < deadline:
+            self.keep_alive()  # every pass: this node is provably live
             raw = self.store.get(self.key)
-            st = raw or {"round": 0, "participants": {}, "waiting": {},
-                         "complete": False}
+            st = raw or dict(self._EMPTY)
             if st["complete"]:
                 if self.node_id in st["participants"]:
                     return self._finish(st)
-                # late arrival: park in the waiting set (scale-up signal)
-                new = dict(st, waiting={**st["waiting"],
-                                        self.node_id: time.time()})
-                self._cas(raw, new)
-                time.sleep(0.05)
+                # late arrival: park in the waiting set (scale-up signal),
+                # then BLOCK on the blob until the agent restarts the round
+                if self.node_id not in st["waiting"]:
+                    new = dict(st, waiting={**st["waiting"],
+                                            self.node_id: time.time()})
+                    if not self._cas(raw, new):
+                        continue
+                    raw = new
+                self._wait_changed(raw, deadline)
+                continue
+            # prune participants whose heartbeat expired BEFORE the round
+            # settles (a node that died mid-join must not get a rank)
+            dead = self.dead_nodes(st["participants"])
+            if dead:
+                alive = {k: v for k, v in st["participants"].items()
+                         if k not in dead}
+                self._cas(raw, dict(st, participants=alive))
                 continue
             if self.node_id not in st["participants"]:
                 if len(st["participants"]) >= self.max_nodes:
-                    time.sleep(0.05)
+                    self._wait_changed(raw, deadline)
                     continue
                 new = dict(st, participants={**st["participants"],
                                              self.node_id: time.time()})
                 if not self._cas(raw, new):
                     continue
-                st = new
+                st, raw = new, new
             n = len(st["participants"])
             newest = max(st["participants"].values())
-            settled = (time.time() - newest) >= self.settle_s
-            if n >= self.min_nodes and (settled or n >= self.max_nodes):
+            settle_left = self.settle_s - (time.time() - newest)
+            if n >= self.min_nodes and (settle_left <= 0
+                                        or n >= self.max_nodes):
                 # re-read so the completed state is built from the SAME value
                 # used as the CAS expect — a node that CAS-joined since our
                 # earlier read must be included in the completing round, not
                 # silently parked in "waiting"
                 fresh = self.store.get(self.key)
-                fs = fresh or {"round": 0, "participants": {}, "waiting": {},
-                               "complete": False}
+                fs = fresh or dict(self._EMPTY)
                 if fs["complete"] or self.node_id not in fs["participants"]:
                     continue  # someone else completed / round restarted
                 done = dict(fs, complete=True)
                 if self._cas(fresh, done):
                     return self._finish(done)
                 continue
-            time.sleep(0.05)
+            # below min_nodes: block until the blob changes; inside the
+            # settle window: block at most until the window closes
+            self._wait_changed(raw, deadline,
+                               cap=None if n < self.min_nodes
+                               else settle_left)
         raise TimeoutError("rendezvous did not complete")
 
     def _finish(self, st) -> Tuple[int, int, int]:
@@ -250,7 +390,8 @@ class DynamicRendezvous:
     def restart_round(self) -> None:
         """Tear down the round so all (running + waiting) nodes re-join —
         the agent calls this before restarting its workers on membership
-        change."""
+        change (scale-up via num_nodes_waiting, scale-down via
+        num_nodes_dead)."""
         raw = self.store.get(self.key)
         if raw is None:
             return
@@ -338,6 +479,18 @@ class FileStore:
             time.sleep(0.05)
         raise TimeoutError(f"store key {key!r} not set within {timeout}s")
 
+    def wait_ne(self, key: str, not_value, timeout: float = 30.0):
+        """Poll fallback (no server process to block in): same contract as
+        :meth:`TCPStore.wait_ne` for co-hosted processes over one file."""
+        deadline = time.time() + timeout
+        while True:
+            v = self.get(key)
+            if v != not_value:
+                return True, v
+            if time.time() >= deadline:
+                return False, v
+            time.sleep(0.02)
+
     def close(self):
         pass
 
@@ -410,7 +563,10 @@ class _DynamicHandler(RendezvousHandler):
         self._rdzv = DynamicRendezvous(
             store, params.run_id, params.min_nodes, params.max_nodes,
             settle_s=float(params.get("settle_s", 0.3)),
-            node_id=params.get("node_id"))
+            node_id=params.get("node_id"),
+            keep_alive_interval=float(params.get("keep_alive_interval", 5.0)),
+            keep_alive_max_attempt=int(
+                params.get("keep_alive_max_attempt", 3)))
 
     def get_backend(self) -> str:
         return self._backend
@@ -430,6 +586,18 @@ class _DynamicHandler(RendezvousHandler):
 
     def num_nodes_waiting(self) -> int:
         return self._rdzv.num_nodes_waiting()
+
+    def num_nodes_dead(self) -> int:
+        """Scale-down signal (participants whose heartbeat TTL expired)."""
+        return self._rdzv.num_nodes_dead()
+
+    def keep_alive(self) -> None:
+        self._rdzv.keep_alive()
+
+    def start_keepalive(self):
+        """Background heartbeat for the worker lifetime; returns the stop
+        Event (the agent sets it on shutdown/restart)."""
+        return self._rdzv.start_keepalive()
 
     def get_run_id(self) -> str:
         return self.run_id

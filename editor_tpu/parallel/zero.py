@@ -21,11 +21,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# Leaves below this many elements stay replicated. Two reasons: (a) the
+# per-device memory win is negligible, and (b) sharding a tiny embedding
+# table (SIE [cam,1,C], BN scales, cls token) on its feature dim makes GSPMD
+# propagate that feature-dim sharding into the gather/broadcast activations
+# it feeds, where it collides with the batch-dim sharding of the surrounding
+# compute and forces an involuntary full rematerialization ([SPMD] warning).
+_MIN_SHARD_ELEMS = 4096
+
+
 def _leaf_spec(leaf: Any, data_size: int) -> P:
     """Shard the largest axis divisible by the data-axis size; tiny or
     indivisible leaves stay replicated (they carry no memory win)."""
     shape = getattr(leaf, "shape", ())
-    if not shape or leaf.size < 2 * data_size:
+    if not shape or leaf.size < max(2 * data_size, _MIN_SHARD_ELEMS):
         return P()
     order = sorted(range(len(shape)), key=lambda i: -shape[i])
     for ax in order:

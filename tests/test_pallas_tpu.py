@@ -190,3 +190,37 @@ def test_masked_attention_extreme_logits_finite(N=264):
                                np.asarray(ref, np.float32) / sc, atol=1e-2)
     gotg = _pallas_masked_full_bwd(qkv, m, g, H, SCALE, -65504.0)
     assert np.isfinite(np.asarray(gotg, np.float32)).all()
+
+
+def test_qkv_tp_permutation_algebra_on_kernel():
+    """TP permutation algebra ON THE TPU KERNEL, single chip (round-2
+    verdict weak #6): the shard-major qkv column permutation
+    (parallel/tp.qkv_tp_permutation) must make each contiguous model-shard a
+    self-contained [q|k|v] block whose UNCHANGED Pallas attention run with
+    H/tp local heads concatenates to the full-head result. The CPU suite can
+    only exercise this via the XLA fallback; this covers the Pallas path."""
+    from editor_tpu.ops.fused_attention import _pallas_attention_qkv
+    from editor_tpu.parallel.tp import qkv_tp_permutation
+
+    B, N, D = 4, 129, C // H
+    x = _rand((B, N, C), 10).astype(jnp.float32)
+    w = _rand((C, 3 * C), 11).astype(jnp.float32) * 0.05
+    b = _rand((3 * C,), 12).astype(jnp.float32) * 0.05
+
+    full = _pallas_attention_qkv(
+        (x @ w + b).astype(jnp.bfloat16), H, SCALE, with_probs=False)
+
+    for tp in (2, 4):
+        perm = qkv_tp_permutation(H, D, tp)
+        wp, bp = w[:, perm], b[perm]
+        width = 3 * C // tp
+        outs = []
+        for s in range(tp):
+            qkv_s = (x @ wp[:, s * width:(s + 1) * width]
+                     + bp[s * width:(s + 1) * width]).astype(jnp.bfloat16)
+            outs.append(_pallas_attention_qkv(qkv_s, H // tp, SCALE,
+                                              with_probs=False))
+        got = jnp.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(full, np.float32),
+                                   atol=2e-2, rtol=2e-2, err_msg=f"tp={tp}")

@@ -386,3 +386,181 @@ def test_c10d_missing_endpoint_is_a_clear_error():
         with pytest.raises(ValueError, match="rdzv_endpoint"):
             rendezvous_registry.create_handler(RendezvousParameters(
                 backend=backend, endpoint=endpoint, run_id="x"))
+
+
+def test_wait_ne_blocks_until_change_and_times_out():
+    """The notify path: wait_ne parks on the server's condition variable and
+    wakes on mutation; an unchanged key returns (False, value) at timeout."""
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        client = TCPStore("127.0.0.1", port)
+        client.set("k", 1)
+        changed, v = client.wait_ne("k", 1, timeout=0.3)
+        assert not changed and v == 1
+        threading.Timer(0.2, lambda: client.set("k", 2)).start()
+        t0 = time.time()
+        changed, v = client.wait_ne("k", 1, timeout=10.0)
+        assert changed and v == 2
+        assert time.time() - t0 < 5.0  # woke on notify, not at timeout
+        # missing key counts as a change vs any non-None value
+        changed, v = client.wait_ne("nope", 1, timeout=0.2)
+        assert changed and v is None
+    finally:
+        server.close()
+
+
+def test_scale_down_dead_node_detected_and_pruned():
+    """Scale-DOWN membership (reference dynamic_rendezvous.py:206-207,
+    446-462): a participant that stops heartbeating past the TTL shows up
+    in num_nodes_dead(); after the agent restarts the round, the survivors
+    re-rendezvous into the SMALLER world without the dead node — previously
+    a dead node stayed in the membership blob forever."""
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        mk = lambda nid: DynamicRendezvous(
+            TCPStore("127.0.0.1", port), "down", min_nodes=2, max_nodes=3,
+            settle_s=0.2, node_id=nid,
+            keep_alive_interval=0.2, keep_alive_max_attempt=2)
+        a, b, c = mk("a"), mk("b"), mk("c")
+        res = {}
+        ts = [threading.Thread(
+            target=lambda n=n, r=r: res.update({n: r.next_rendezvous(60)}))
+            for n, r in (("a", a), ("b", b), ("c", c))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(90)
+        assert res["a"][2] == res["b"][2] == res["c"][2] == 3
+
+        # workers run: a and b keep heartbeating, c crashes (no keepalive)
+        stop_a, stop_b = a.start_keepalive(), b.start_keepalive()
+        deadline = time.time() + 30
+        while a.num_nodes_dead() == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert a.dead_nodes() == ["c"]
+        assert b.num_nodes_dead() == 1
+
+        # agent reaction: restart; only the live nodes re-join
+        a.restart_round()
+        t2 = [threading.Thread(
+            target=lambda n=n, r=r: res.update({n: r.next_rendezvous(60)}))
+            for n, r in (("a2", a), ("b2", b))]
+        for t in t2:
+            t.start()
+        for t in t2:
+            t.join(90)
+        stop_a.set(); stop_b.set()
+        assert res["a2"][0] == res["b2"][0] == 1
+        assert res["a2"][2] == res["b2"][2] == 2
+        assert sorted([res["a2"][1], res["b2"][1]]) == [0, 1]
+    finally:
+        server.close()
+
+
+def test_dead_node_pruned_before_round_settles():
+    """A node that joins and then dies before the round completes must not
+    get a rank: the joining survivors prune it once its TTL lapses and the
+    round settles with the live membership only."""
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        mk = lambda nid, mn: DynamicRendezvous(
+            TCPStore("127.0.0.1", port), "prejoin", min_nodes=mn,
+            max_nodes=3, settle_s=0.2, node_id=nid,
+            keep_alive_interval=0.15, keep_alive_max_attempt=2)
+        # ghost joins a round that cannot settle yet (min_nodes=3), then dies
+        ghost = mk("ghost", 3)
+        def _ghost_join():
+            with pytest.raises(TimeoutError):
+                ghost.next_rendezvous(0.2)
+        tg = threading.Thread(target=_ghost_join)
+        tg.start(); tg.join(10)  # times out quickly and never beats again
+        time.sleep(0.5)  # > TTL
+
+        a, b = mk("a", 2), mk("b", 2)
+        res = {}
+        ta = threading.Thread(target=lambda: res.update(a=a.next_rendezvous(60)))
+        tb = threading.Thread(target=lambda: res.update(b=b.next_rendezvous(60)))
+        ta.start(); tb.start(); ta.join(90); tb.join(90)
+        assert res["a"][2] == res["b"][2] == 2  # ghost pruned, not ranked
+        assert sorted([res["a"][1], res["b"][1]]) == [0, 1]
+    finally:
+        server.close()
+
+
+@pytest.mark.slow
+def test_scale_up_stress_under_contention():
+    """Repeat the scale-up/restart sequence many times with extra CPU-burn
+    threads contending for the GIL — the regression harness for the
+    round-2 lost-wakeup flake (poll-only waits starved under full-suite
+    load; waits are now blocking wait_ne reads)."""
+    stop_burn = threading.Event()
+
+    def burn():
+        x = 0
+        while not stop_burn.is_set():
+            x = (x * 1103515245 + 12345) % (2 ** 31)
+
+    burners = [threading.Thread(target=burn, daemon=True) for _ in range(4)]
+    for t in burners:
+        t.start()
+    try:
+        for it in range(5):
+            port = _port()
+            server = TCPStore("127.0.0.1", port, is_server=True)
+            try:
+                mk = lambda nid: DynamicRendezvous(
+                    TCPStore("127.0.0.1", port), f"stress{it}", min_nodes=2,
+                    max_nodes=3, settle_s=0.3, node_id=nid)
+                a, b = mk("a"), mk("b")
+                res = {}
+                ta = threading.Thread(
+                    target=lambda: res.update(a=a.next_rendezvous(60)))
+                tb = threading.Thread(
+                    target=lambda: res.update(b=b.next_rendezvous(60)))
+                ta.start(); tb.start(); ta.join(90); tb.join(90)
+                assert res["a"][2] == res["b"][2] == 2
+
+                # full agent protocol (api.py:872-884): every node keeps
+                # RE-rendezvousing until it lands in the full world; the
+                # restarting agent (main thread) tears the round down
+                # whenever someone is still parked in the waiting set — a
+                # node that misses one settle window catches the next
+                # restart by design, so the loop is deterministic as long
+                # as no wakeup is ever lost (the property under test)
+                done = {}
+
+                def rejoin(name, r):
+                    while True:
+                        got = r.next_rendezvous(120)
+                        if got[2] == 3:
+                            done[name] = got
+                            return
+                        time.sleep(0.05)
+
+                c = mk("c")
+                tc = threading.Thread(target=rejoin, args=("c", c))
+                tc.start()
+                deadline = time.time() + 30
+                while a.num_nodes_waiting() == 0 and time.time() < deadline:
+                    time.sleep(0.02)
+                assert a.num_nodes_waiting() >= 1
+
+                t2a = threading.Thread(target=rejoin, args=("a", a))
+                t2b = threading.Thread(target=rejoin, args=("b", b))
+                a.restart_round()
+                t2a.start(); t2b.start()
+                agent_deadline = time.time() + 90
+                while len(done) < 3 and time.time() < agent_deadline:
+                    if a.num_nodes_waiting() > 0:
+                        a.restart_round()
+                    time.sleep(0.2)
+                for t in (t2a, t2b, tc):
+                    t.join(30)
+                assert done["a"][2] == done["b"][2] == done["c"][2] == 3
+            finally:
+                server.close()
+    finally:
+        stop_burn.set()
