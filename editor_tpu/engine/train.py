@@ -170,7 +170,11 @@ def build_train_step(
                     loss_of, has_aux=True)(params_c, mstate, imgs_i,
                                            lbls_i, cms_i, rng_i)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-                return (mstate, gsum, lsum + l, asum + a), None
+                # accumulate loss/acc metrics at the carry dtype (f32) — under
+                # x64 golden runs the per-microbatch loss is f64 and a raw add
+                # would change the scan carry type
+                return (mstate, gsum, lsum + l.astype(lsum.dtype),
+                        asum + a.astype(asum.dtype)), None
 
             gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             zero = jnp.zeros((), jnp.float32)

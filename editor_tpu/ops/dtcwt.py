@@ -15,8 +15,13 @@ algorithm (Kingsbury, ACHA 2001; Selesnick/Baraniuk/Kingsbury, IEEE SPM
   * the (row-tree, col-tree) LH/HL/HH quartets combine into 6 oriented
     complex subbands z± = ((S_aa ∓ S_bb) + i(S_ab ± S_ba)) / 2.
 
-Filter coefficients are Kingsbury's published constants. Complex bands are
-carried as a trailing real/imag axis (no complex dtype on the TPU path).
+Filter families: the defaults (near_sym_a, qshift_a) are Kingsbury's
+published constants; the breadth families match the reference's name
+surface with published tables (legall, antonini) or our own solutions to
+the published design problems (near_sym_b-class, qshift_06/b/c/d-class —
+see the table comments and tools/design_dtcwt_filters.py). Complex bands
+are carried as a trailing real/imag axis (no complex dtype on the TPU
+path).
 """
 
 from __future__ import annotations
@@ -31,29 +36,168 @@ from editor_tpu.ops import wavelets as W
 
 Array = jax.Array
 
-# near_sym_a (5,7)-tap biorthogonal level-1 filters (Kingsbury)
-H0O = np.array([-0.05, 0.25, 0.6, 0.25, -0.05])
-H1O = np.array([0.010714285714, -0.053571428571, -0.260714285714,
-                0.607142857143, -0.260714285714, -0.053571428571,
-                0.010714285714])
-G0O = np.array([-0.010714285714, -0.053571428571, 0.260714285714,
-                0.607142857143, 0.260714285714, -0.053571428571,
-                -0.010714285714])
-G1O = np.array([-0.05, -0.25, 0.6, -0.25, -0.05])
+# ---------------------------------------------------------------------------
+# Level-1 biorthogonal pairs, stored as (h0o, g0o) — analysis and synthesis
+# lowpass, both odd length, normalized to sum(h0o) = 1 and half-band product
+# (center of conv(h0o, g0o) = 1/2). The high filters follow from the
+# alias-cancellation relations h1o[n] = (-1)^(n+1) g0o[n],
+# g1o[n] = (-1)^n h0o[n] (center-aligned odd filters), which make
+# conv(h0,g0) + conv(h1,g1) = δ exactly — asserted for every family in
+# tests/test_dtcwt_extra_losses.py.
+# Reference name surface: pytorch_wavelets/dtcwt/transform2d.py:24-28.
+#   near_sym_a : Kingsbury's published (5,7) pair.
+#   legall     : LeGall/CDF 5/3 spline pair (published table).
+#   antonini   : CDF 9/7 / JPEG2000 pair (published table).
+#   near_sym_b : same-length-class (13,19) symmetric pair DERIVED by the
+#     published half-band construction (order-8 Lagrange half-band factored
+#     6/10 zeros-at-π + reciprocal root groups) — OUR solution to the design
+#     problem, not Kingsbury's tabulated coefficients (which live only in
+#     the reference's opaque .npz); exact PR and identical lengths/shapes.
+#     Derivation: tools/design_dtcwt_filters.py.
+# ---------------------------------------------------------------------------
 
-# qshift_a 10-tap quarter-shift filters, tree A (Kingsbury)
+_BIORT = {
+    "near_sym_a": (
+        np.array([-0.05, 0.25, 0.6, 0.25, -0.05]),
+        np.array([-0.010714285714, -0.053571428571, 0.260714285714,
+                  0.607142857143, 0.260714285714, -0.053571428571,
+                  -0.010714285714]),
+    ),
+    "legall": (
+        np.array([-1.0, 2.0, 6.0, 2.0, -1.0]) / 8.0,
+        np.array([1.0, 2.0, 1.0]) / 4.0,
+    ),
+    "antonini": (
+        np.array([0.026748757410810, -0.016864118442875,
+                  -0.078223266528990, 0.266864118442875,
+                  0.602949018236360, 0.266864118442875,
+                  -0.078223266528990, -0.016864118442875,
+                  0.026748757410810]),
+        np.array([-0.045635881557125, -0.028771763114250,
+                  0.295635881557125, 0.557543526228500,
+                  0.295635881557125, -0.028771763114250,
+                  -0.045635881557125]),
+    ),
+    "near_sym_b": (
+        np.array([-0.006431960333496, -0.002007528553779, 0.030424257188960,
+                  0.005037794843496, -0.003278967390054, 0.246969733710282,
+                  0.458573341069181, 0.246969733710282, -0.003278967390054,
+                  0.005037794843496, 0.030424257188960, -0.002007528553779,
+                  -0.006431960333496]),
+        np.array([4.969401100677041e-04, -1.551037955385900e-04,
+                  -6.201865348864063e-03, 1.591270126280881e-03,
+                  4.094543519443105e-02, 9.049823059807338e-03,
+                  -1.521097237729034e-01, -1.085694810113402e-01,
+                  3.668692138174096e-01, 6.961669832418635e-01,
+                  3.668692138174096e-01, -1.085694810113402e-01,
+                  -1.521097237729034e-01, 9.049823059807338e-03,
+                  4.094543519443105e-02, 1.591270126280881e-03,
+                  -6.201865348864063e-03, -1.551037955385900e-04,
+                  4.969401100677041e-04]),
+    ),
+}
+
+
+def biort_filters(biort) -> Tuple[np.ndarray, np.ndarray,
+                                  np.ndarray, np.ndarray]:
+    """(h0o, h1o, g0o, g1o) for a named level-1 family or an explicit
+    (h0o, g0o) pair of odd-length lowpass filters."""
+    if isinstance(biort, str):
+        if biort not in _BIORT:
+            raise ValueError(
+                f"unknown biort '{biort}'; have {sorted(_BIORT)} or an "
+                "explicit (h0o, g0o) tuple")
+        h0, g0 = _BIORT[biort]
+    else:
+        h0, g0 = (np.asarray(f, np.float64) for f in biort)
+    h1 = np.array([(-1.0) ** (n + 1) * g0[n] for n in range(len(g0))])
+    g1 = np.array([(-1.0) ** n * h0[n] for n in range(len(h0))])
+    return h0, h1, g0, g1
+
+
+# ---------------------------------------------------------------------------
+# Level-≥2 q-shift orthonormal banks, stored as the tree-A analysis lowpass
+# h0a (even length 2N, quarter-sample group delay (2N-1)/2 - 1/4). Tree B is
+# the time-reverse; the high filter is the conjugate mirror
+# h1a[n] = (-1)^n h0a[2N-1-n]; synthesis = time-reverse (orthonormal bank).
+# Reference name surface: transform2d.py:24-28 / dtcwt/data/qshift_*.npz.
+#   qshift_a  : Kingsbury's published 10-tap bank.
+#   qshift_06/b/c/d : same-length-class banks (6-nonzero-in-10, 14, 16, 18
+#     taps) DESIGNED by Kingsbury's published criterion (ICIP 2003:
+#     stopband-energy minimization under double-shift orthonormality with
+#     the quarter-shift passband phase) — our solutions, not the reference's
+#     .npz tables; exact orthonormal PR (≤1e-9 constraint residual) and
+#     identical lengths/shapes. Derivation: tools/design_dtcwt_filters.py.
+# ---------------------------------------------------------------------------
+
 H0A = np.array([0.051130405284, -0.013975370247, -0.109836051666,
                 0.263839561059, 0.766628467793, 0.563655710127,
                 0.000873622695, -0.100231219507, -0.001689681273,
                 -0.006181881892])
-H1A = np.array([-0.006181881892, 0.001689681273, -0.100231219507,
-                -0.000873622695, 0.563655710127, -0.766628467793,
-                0.263839561059, 0.109836051666, -0.013975370247,
-                -0.051130405284])
+
+_QSHIFT = {
+    "qshift_a": H0A,
+    # 6 designed taps embedded at offset 2 in a length-10 bank (integer
+    # shifts preserve orthonormality; the embedding restores the length-10
+    # quarter-delay (10-1)/2 - 1/4 = 4.25 from the 6-tap solution's 2.25)
+    "qshift_06": np.array([0.0, 0.0,
+                           -0.106806837268066, 0.224101018251215,
+                           0.833856332934947, 0.492510504389437,
+                           -0.019942726501489, -0.009504729432949,
+                           0.0, 0.0]),
+    "qshift_b": np.array([6.824825554648937e-05, 1.175083612887533e-02,
+                          1.866838701058983e-02, -3.991889002341913e-02,
+                          -9.986061743560468e-02, 2.647715682200098e-01,
+                          7.409323611217716e-01, 5.775798346335748e-01,
+                          5.118345225386201e-02, -1.645488851011748e-01,
+                          3.183316458695803e-02, 5.726487121237563e-02,
+                          -3.571821807497286e-02, 2.074495847030290e-04]),
+    "qshift_c": np.array([-0.012008725897470, -0.007352155718058,
+                          0.009726667754435, 0.042333508640379,
+                          -0.065577412799144, -0.103623293804070,
+                          0.287332627601471, 0.730897872351656,
+                          0.577980983606561, 0.046441315822014,
+                          -0.151974242118173, 0.012128799468230,
+                          0.072384251560065, -0.031289928783213,
+                          -0.010757360368728, 0.017570655057140]),
+    "qshift_d": np.array([-6.831074016002883e-04, -6.909412654047094e-03,
+                          -6.879131882386882e-03, 1.794269805121747e-02,
+                          2.885631157859396e-02, -5.517963931720012e-02,
+                          -9.777490761605788e-02, 2.805837773977339e-01,
+                          7.215053083833737e-01, 5.903886724717803e-01,
+                          5.136232679994033e-02, -1.634231891903228e-01,
+                          7.573719705530015e-03, 7.960627117737136e-02,
+                          -2.527319416285175e-02, -3.309268463172516e-02,
+                          2.841946865159687e-02, -2.809724987851015e-03]),
+}
 
 
-def _qshift_bank(tree: str):
-    h0, h1 = (H0A, H1A) if tree == "a" else (H0A[::-1], H1A[::-1])
+def qshift_filters(qshift) -> Tuple[np.ndarray, np.ndarray]:
+    """(h0a, h1a) tree-A analysis pair for a named q-shift family or an
+    explicit even-length h0a array."""
+    if isinstance(qshift, str):
+        if qshift not in _QSHIFT:
+            raise ValueError(
+                f"unknown qshift '{qshift}'; have {sorted(_QSHIFT)} or an "
+                "explicit h0a array")
+        h0a = _QSHIFT[qshift]
+    else:
+        h0a = np.asarray(qshift, np.float64)
+    L = len(h0a)
+    h1a = np.array([(-1.0) ** n * h0a[L - 1 - n] for n in range(L)])
+    return h0a, h1a
+
+
+# legacy qshift_a aliases (tree B = time-reverse of A; synthesis = reverse)
+H1A = qshift_filters("qshift_a")[1]
+H0B, H1B = H0A[::-1].copy(), H1A[::-1].copy()
+G0A, G0B = H0A[::-1].copy(), H0A.copy()
+G1A, G1B = H1A[::-1].copy(), H1A.copy()
+
+
+def _qshift_bank(tree: str, h0a: np.ndarray = H0A,
+                 h1a: np.ndarray = H1A):
+    h0, h1 = (h0a, h1a) if tree == "a" else (h0a[::-1], h1a[::-1])
     # orthogonal bank: dec = reversed impulse response, rec = impulse response
     return (h0[::-1].copy(), h1[::-1].copy(), h0.copy(), h1.copy())
 
@@ -189,15 +333,9 @@ def _ifilt(x: Array, ha: np.ndarray, hb: np.ndarray, axis: int,
     return _ilv(parts, axis)
 
 
-# qshift tree-B filters are the time-reverse of tree A; synthesis filters
-# the time-reverse of analysis (orthogonal bank)
-H0B, H1B = H0A[::-1].copy(), H1A[::-1].copy()
-G0A, G0B = H0A[::-1].copy(), H0A.copy()
-G1A, G1B = H1A[::-1].copy(), H1A.copy()
-
-
-def dtcwt2(x: Array, J: int = 2,
-           mode: str = "zero") -> Tuple[List[Array], List[Array]]:
+def dtcwt2(x: Array, J: int = 2, mode: str = "zero",
+           biort="near_sym_a",
+           qshift="qshift_a") -> Tuple[List[Array], List[Array]]:
     """Forward 2D DTCWT of NHWC ``x`` (even H and W).
 
     Returns:
@@ -210,7 +348,15 @@ def dtcwt2(x: Array, J: int = 2,
     (the reference default, transform2d.py/lowlevel.py:97-223: symmetric
     double-rate banks keeping every subband at exactly half the previous
     extent — requires extents divisible by 4 at each level).
+
+    ``biort`` / ``qshift``: level-1 / level-≥2 filter families (reference
+    transform2d.py:24-28 name surface) — see ``biort_filters`` /
+    ``qshift_filters`` for names and explicit-array escape hatches.
     """
+    H0O, H1O, _, _ = biort_filters(biort)
+    h0a, h1a = qshift_filters(qshift)
+    # tree B = time-reverse of tree A (the quarter-shift construction)
+    H0B, H1B = h0a[::-1], h1a[::-1]
     # level 1: undecimated near_sym filtering, then polyphase split
     lo_w = _filter_same(x, H0O, axis=2)
     hi_w = _filter_same(x, H1O, axis=2)
@@ -230,12 +376,12 @@ def dtcwt2(x: Array, J: int = 2,
         # trees as the 2x2 phases of one tensor through every level)
         ll = full["ll"]
         for j in range(2, J + 1):
-            lo = _dfilt(ll, H0B, H0A, axis=2, highpass=False)
-            hi = _dfilt(ll, H1B, H1A, axis=2, highpass=True)
-            lh = _dfilt(lo, H1B, H1A, axis=1, highpass=True)
-            hl = _dfilt(hi, H0B, H0A, axis=1, highpass=False)
-            hh = _dfilt(hi, H1B, H1A, axis=1, highpass=True)
-            ll = _dfilt(lo, H0B, H0A, axis=1, highpass=False)
+            lo = _dfilt(ll, H0B, h0a, axis=2, highpass=False)
+            hi = _dfilt(ll, H1B, h1a, axis=2, highpass=True)
+            lh = _dfilt(lo, H1B, h1a, axis=1, highpass=True)
+            hl = _dfilt(hi, H0B, h0a, axis=1, highpass=False)
+            hh = _dfilt(hi, H1B, h1a, axis=1, highpass=True)
+            ll = _dfilt(lo, H0B, h0a, axis=1, highpass=False)
             level_bands = []
             for band in (lh, hl, hh):
                 level_bands.extend(
@@ -247,8 +393,8 @@ def dtcwt2(x: Array, J: int = 2,
     for j in range(2, J + 1):
         subs = {}
         for t in _TREES:
-            fr = _qshift_bank(t[0])
-            fc = _qshift_bank(t[1])
+            fr = _qshift_bank(t[0], h0a, h1a)
+            fc = _qshift_bank(t[1], h0a, h1a)
             lo_w2, hi_w2 = W.afb1d(lows[t], fr, axis=2, mode="zero")
             ll, lh = W.afb1d(lo_w2, fc, axis=1, mode="zero")
             hl, hh = W.afb1d(hi_w2, fc, axis=1, mode="zero")
@@ -262,9 +408,16 @@ def dtcwt2(x: Array, J: int = 2,
 
 
 def idtcwt2(lows: Sequence[Array], highs: Sequence[Array],
-            mode: str = "zero") -> Array:
+            mode: str = "zero", biort="near_sym_a",
+            qshift="qshift_a") -> Array:
     """Inverse 2D DTCWT (exact in the interior; symmetric-border effects at
-    level 1 only). ``mode`` must match the forward's."""
+    level 1 only). ``mode``/``biort``/``qshift`` must match the forward's."""
+    _, _, G0O, G1O = biort_filters(biort)
+    h0a, h1a = qshift_filters(qshift)
+    # synthesis = time-reverse of analysis (orthonormal bank); tree B = the
+    # time-reverse of tree A
+    G0A, G0B = h0a[::-1], h0a
+    G1A, G1B = h1a[::-1], h1a
     J = len(highs)
     lows = {t: lows[i] for i, t in enumerate(_TREES)}
     if mode == "symmetric":
@@ -292,8 +445,8 @@ def idtcwt2(lows: Sequence[Array], highs: Sequence[Array],
                 for t in _TREES:
                     bands_by_tree[t][b] = quad[t]
             for t in _TREES:
-                fr = _qshift_bank(t[0])
-                fc = _qshift_bank(t[1])
+                fr = _qshift_bank(t[0], h0a, h1a)
+                fc = _qshift_bank(t[1], h0a, h1a)
                 lh, hl, hh = bands_by_tree[t]
                 ll = lows[t]
                 for ax in (1, 2):

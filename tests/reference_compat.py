@@ -13,6 +13,7 @@ giving the strongest available parity oracle (no datasets on disk).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import types
 
@@ -57,8 +58,11 @@ def load_reference_modeling():
         except ImportError:
             pr = types.ModuleType("pkg_resources")
 
-            def resource_stream(pkg, name):  # DTCWT coeff files, unused here
-                raise FileNotFoundError(name)
+            def resource_stream(pkg, name):
+                # serve the reference package's own data files (DTCWT
+                # coefficient .npz) so reference transforms run as oracles
+                path = os.path.join(REFERENCE_ROOT, *pkg.split("."), name)
+                return open(path, "rb")
 
             pr.resource_stream = resource_stream
             sys.modules["pkg_resources"] = pr

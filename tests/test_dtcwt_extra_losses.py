@@ -239,3 +239,94 @@ def test_aux_losses_golden_vs_reference():
     finally:
         torch.set_default_dtype(prev_t)
         jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------------------------
+# filter-family breadth (round-2 verdict task 5: reference biort/qshift name
+# surface, pytorch_wavelets/dtcwt/transform2d.py:24-28)
+# ---------------------------------------------------------------------------
+
+_BIORTS = ["near_sym_a", "legall", "antonini", "near_sym_b"]
+_QSHIFTS = ["qshift_a", "qshift_06", "qshift_b", "qshift_c", "qshift_d"]
+
+
+@pytest.mark.parametrize("biort", _BIORTS)
+def test_biort_family_pr_identity(biort):
+    """Level-1 alias cancellation: conv(h0,g0) + conv(h1,g1) = δ exactly
+    (center-aligned), for every named family."""
+    from editor_tpu.ops.dtcwt import biort_filters
+    h0, h1, g0, g1 = biort_filters(biort)
+    a = np.convolve(h0, g0)
+    b = np.convolve(h1, g1)
+    L = max(len(a), len(b))
+    pad = lambda v: np.pad(v, ((L - len(v)) // 2, (L - len(v)) // 2))
+    total = pad(a) + pad(b)
+    want = np.zeros(L)
+    want[(L - 1) // 2] = 1.0
+    np.testing.assert_allclose(total, want, atol=1e-9)
+    # symmetry (all four families are (near-)symmetric designs)
+    np.testing.assert_allclose(h0, h0[::-1], atol=1e-12)
+    np.testing.assert_allclose(g0, g0[::-1], atol=1e-12)
+
+
+@pytest.mark.parametrize("qshift", _QSHIFTS)
+def test_qshift_family_orthonormality(qshift):
+    """Q-shift banks: unit norm, sum = sqrt(2), double-shift orthogonality
+    (the exact-PR condition of the per-tree orthonormal banks), and the
+    quarter-sample group delay at DC."""
+    from editor_tpu.ops.dtcwt import qshift_filters
+    h0a, h1a = qshift_filters(qshift)
+    n = len(h0a)
+    assert n % 2 == 0
+    assert abs(h0a @ h0a - 1.0) < 1e-8
+    assert abs(h0a.sum() - np.sqrt(2.0)) < 1e-8
+    for k in range(1, n // 2):
+        assert abs(float(h0a[2 * k:] @ h0a[:n - 2 * k])) < 1e-8, k
+    # quarter-shift property: passband-mean group delay ~ (n-1)/2 - 1/4
+    # (Kingsbury's own qshift_a sits ~0.07 off over the passband; the
+    # property holds in the passband mean, not pointwise at DC)
+    w = np.linspace(0.05 * np.pi, 0.4 * np.pi, 50)
+    Hw = np.exp(-1j * np.outer(w, np.arange(n))) @ h0a
+    gd = -np.gradient(np.unwrap(np.angle(Hw)), w)
+    assert abs(gd.mean() - ((n - 1) / 2 - 0.25)) < 0.1, gd.mean()
+    # h1a is the conjugate mirror: orthogonal to h0a at all even shifts
+    assert abs(float(h0a @ h1a)) < 1e-8
+
+
+@pytest.mark.parametrize("biort", _BIORTS)
+@pytest.mark.parametrize("qshift", _QSHIFTS)
+@pytest.mark.parametrize("mode", ["zero", "symmetric"])
+def test_family_perfect_reconstruction(biort, qshift, mode):
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 32, 16, 2)
+                    .astype(np.float32))
+    lows, highs = dtcwt2(x, J=2, mode=mode, biort=biort, qshift=qshift)
+    y = idtcwt2(lows, highs, mode=mode, biort=biort, qshift=qshift)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("biort,qshift", [
+    ("legall", "qshift_06"), ("antonini", "qshift_b"),
+    ("near_sym_b", "qshift_c"), ("near_sym_a", "qshift_d")])
+def test_family_shape_parity_vs_reference(biort, qshift):
+    """Subband SHAPES match the reference's DTCWTForward for every family
+    (values differ for the derived-not-tabulated banks — see the design
+    notes in ops/dtcwt.py; lengths and therefore shapes are identical)."""
+    from tests.reference_compat import load_reference_modeling
+    load_reference_modeling()
+    import torch
+    from pytorch_wavelets import DTCWTForward
+
+    x_np = np.random.RandomState(5).randn(2, 3, 32, 16).astype(np.float32)
+    ref = DTCWTForward(J=2, biort=biort, qshift=qshift)
+    yl, yh = ref(torch.from_numpy(x_np))
+
+    lows, highs = dtcwt2(jnp.asarray(x_np.transpose(0, 2, 3, 1)), J=2,
+                         mode="symmetric", biort=biort, qshift=qshift)
+    # ours: 4 per-tree lowpass [B,h,w,C]; reference: interleaved [B,C,2h,2w]
+    assert tuple(yl.shape) == (2, 3, 2 * lows[0].shape[1],
+                               2 * lows[0].shape[2])
+    for j in range(2):
+        B, h, w, C, O, _ = highs[j].shape
+        assert tuple(yh[j].shape) == (B, C, O, h, w, 2), (
+            j, tuple(yh[j].shape), highs[j].shape)

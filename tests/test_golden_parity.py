@@ -385,6 +385,74 @@ def test_gradient_and_sgd_step_match_reference(golden, tmp_path):
                        ref_s3["ocfr"], rtol=1e-4)
 
 
+def test_grad_accum_matches_torch_accumulation_loop(golden, tmp_path):
+    """``build_train_step(grad_accum=2)`` vs a LITERAL torch accumulation
+    loop (round-2 verdict task 6): two microbatches through the reference
+    model with ``(loss/2).backward()`` each and ONE optimizer step
+    (reference engine/processor.py:94-96 scaled to mean-of-microbatches,
+    the semantics engine/train.py documents). Compares final params, BN
+    running stats, and OCFR EMA centers at f64 — certifying that the
+    in-step lax.scan advances BN/OCFR per microbatch in order exactly as
+    sequential torch forwards do."""
+    torch = golden["torch"]
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from layers.make_loss import make_loss as ref_make_loss
+    from solver.make_optimizer import make_optimizer as ref_make_optimizer
+
+    ref = golden["make_ref"]().train()
+    ref_loss_fn, center_criterion = ref_make_loss(RefCfg, NUM_CLASSES)
+    optimizer, _ = ref_make_optimizer(RefCfg, ref, center_criterion)
+    optimizer.zero_grad()
+
+    t_label = torch.from_numpy(golden["label"])
+    t_cam = torch.from_numpy(golden["cam"])
+    half = B // 2
+    ref_losses = []
+    for lo, hi in ((0, half), (half, B)):
+        imgs_i = {m: v[lo:hi] for m, v in golden["torch_imgs"].items()}
+        out = ref(imgs_i, cam_label=t_cam[lo:hi], label=t_label[lo:hi],
+                  mode=1, writer=DummyWriter(), epoch=1)
+        total = sum(ref_loss_fn(s, f, t_label[lo:hi], None)
+                    for s, f in zip(out[0:8:2], out[1:8:2])) + out[-1]
+        (total / 2).backward()  # mean-of-microbatch gradients
+        ref_losses.append(float(total))
+    optimizer.step()
+    ref_p2, ref_s2 = _torch_sd_to_tree(
+        torch, {n: t.detach().clone()
+                for n, t in ref.state_dict().items()}, golden, tmp_path)
+
+    # ---- our side: ONE jitted step with grad_accum=2 on the full batch ---
+    from editor_tpu.engine.train import TrainState, build_train_step
+    from editor_tpu.losses import make_loss as our_make_loss
+    from editor_tpu.solver import make_optimizer as our_make_optimizer
+    cfg = _our_solver_cfg()
+    opt = our_make_optimizer(cfg, golden["params"])
+    step = build_train_step(
+        golden["ecfg"], opt, our_make_loss(cfg, NUM_CLASSES),
+        lambda epoch, lr: lr, cfg.SOLVER.BASE_LR,
+        compute_dtype=jnp.float64, donate=False, grad_accum=2)
+    state = TrainState(params=golden["params"],
+                       opt_state=opt.init(golden["params"]),
+                       model_state=golden["state"],
+                       rng=jax.random.PRNGKey(3),
+                       step=jnp.zeros((), jnp.int32))
+    batch = {**{m: v for m, v in golden["jax_imgs"].items()},
+             "pid": jnp.asarray(golden["label"]),
+             "camid": jnp.asarray(golden["cam"])}
+    new_state, metrics = step(state, batch, jnp.asarray(1))
+
+    assert abs(float(metrics["loss"]) - float(np.mean(ref_losses))) < \
+        2e-4 * max(1.0, abs(float(np.mean(ref_losses))))
+    _assert_tree_close("params after one accumulated step",
+                       new_state.params, ref_p2, rtol=2e-4)
+    _assert_tree_close("BN stats after two microbatches",
+                       new_state.model_state["bn"], ref_s2["bn"], rtol=1e-6)
+    _assert_tree_close("OCFR centers after two microbatches",
+                       new_state.model_state["ocfr"], ref_s2["ocfr"],
+                       rtol=1e-5)
+
+
 def test_param_count_matches_reference(golden):
     ref_n = sum(p.numel() for p in golden["ref"].parameters()
                 if p.requires_grad)
