@@ -59,6 +59,10 @@ class ModelConfig:
     SIE_CAMERA: bool = True
     SIE_VIEW: bool = False
     NO_MARGIN: bool = True
+    # >0: fusion block's joint MLP becomes a GShard MoE with this many
+    # experts (beyond-reference expert-parallel variant; models/fusion.py)
+    MOE_EXPERTS: int = 0
+    MOE_AUX_WEIGHT: float = 0.01
 
 
 @dataclass

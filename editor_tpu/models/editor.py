@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from editor_tpu.models import vit as vit_mod
 from editor_tpu.models.frequency import frequency_token_select
-from editor_tpu.models.fusion import blockmask_apply, blockmask_init
+from editor_tpu.models.fusion import (blockmask_apply, blockmask_init,
+                                      blockmask_moe_init)
 from editor_tpu.models.layers import batchnorm1d, batchnorm1d_init, linear, linear_init
 from editor_tpu.models.ocfr import ocfr_init
 from editor_tpu.models.sfts import sfts_select
@@ -55,6 +56,11 @@ class EditorConfig:
     num_modalities: int = 3
     use_pallas: bool = True
     compact_tail: bool = True   # TPU.COMPACT_TAIL (exact; see _compact_selected)
+    # >0: the fusion block's joint MLP becomes a GShard MoE with this many
+    # experts (models/fusion.blockmask_moe_init) — the expert-parallel
+    # EDITOR variant (beyond-reference; SURVEY §2.2 names EP/MoE absent)
+    moe_experts: int = 0        # MODEL.MOE_EXPERTS
+    moe_aux_weight: float = 0.01  # Switch-style load-balance loss weight
 
     @property
     def dim(self) -> int:
@@ -90,6 +96,8 @@ def editor_config_from(cfg: Any, num_classes: int, camera_num: int) -> EditorCon
         frequency_keep=int(cfg.MODEL.FREQUENCY_KEEP),
         al=bool(cfg.MODEL.AL),
         compact_tail=bool(getattr(cfg.TPU, "COMPACT_TAIL", True)),
+        moe_experts=int(getattr(cfg.MODEL, "MOE_EXPERTS", 0)),
+        moe_aux_weight=float(getattr(cfg.MODEL, "MOE_AUX_WEIGHT", 0.01)),
     )
 
 
@@ -104,7 +112,11 @@ def editor_init(key: Array, cfg: EditorConfig) -> Tuple[dict, dict]:
     ks = jax.random.split(key, 8)
     params: Dict[str, Any] = {
         "BACKBONE": vit_mod.vit_init(ks[0], cfg.vit),
-        "FUSE_block": blockmask_init(ks[1], dim=d, mlp_ratio=4.0),
+        "FUSE_block": (
+            blockmask_moe_init(ks[1], dim=d, mlp_ratio=4.0,
+                               num_experts=cfg.moe_experts)
+            if cfg.moe_experts > 0
+            else blockmask_init(ks[1], dim=d, mlp_ratio=4.0)),
         # in-modality reduction Linear(2d->d), kaiming fan_out init
         # (reference: make_model.py:106-111)
         "RGB_REDUCE": linear_init(ks[2], 2 * d, d, bias=True, init="kaiming_out"),
@@ -233,6 +245,8 @@ def editor_apply(
     tp_mesh=None,
     backbone=None,
     seq_mesh=None,
+    moe_mesh=None,
+    moe_shards: int = 1,
 ):
     """Forward pass.
 
@@ -252,6 +266,13 @@ def editor_apply(
     (parallel/ring.ring_masked_attention). The compact-tail token counts
     are 8-aligned (``_tail_keep_count``), so any seq axis dividing 8 works
     on the flagship presets.
+
+    ``moe_mesh`` / ``moe_shards``: when ``cfg.moe_experts > 0`` the fusion
+    block's joint MLP is a GShard MoE (models/fusion.moe_masked_mlp) —
+    ``moe_mesh`` shards experts+tokens over its 'expert' axis; without a
+    mesh, ``moe_shards`` emulates that sharding exactly on one device (the
+    parity oracle). The load-balance aux loss is added to ``aux_loss``
+    weighted by ``cfg.moe_aux_weight``.
 
     images: {'RGB','NI','TI'} NHWC float tensors ('TI' optional for 2-modal
     datasets — reference forward_two_modalities, make_model.py:260-360; the
@@ -313,10 +334,11 @@ def editor_apply(
     while len(modal_feats) < 3:
         modal_feats.append(None)
 
-    fused, ocfr_loss, new_ocfr = blockmask_apply(
+    fused, ocfr_loss, new_ocfr, moe_aux = blockmask_apply(
         params["FUSE_block"], modal_feats, index, state["ocfr"], labels,
         num_heads=12, ocfr_momentum=cfg.ocfr_momentum, training=training,
-        use_pallas=cfg.use_pallas, tp_mesh=tp_mesh, seq_mesh=seq_mesh)
+        use_pallas=cfg.use_pallas, tp_mesh=tp_mesh, seq_mesh=seq_mesh,
+        moe_mesh=moe_mesh, moe_shards=moe_shards)
 
     pooled = _masked_mean_pool(fused, index, seg_len, M)
 
@@ -338,6 +360,8 @@ def editor_apply(
     aux = (bcc if bcc is not None else 0.0)
     if ocfr_loss is not None:
         aux = aux + ocfr_loss
+    if moe_aux is not None:
+        aux = aux + cfg.moe_aux_weight * moe_aux
     out = EditorTrainOutput(score=score, cls4t=cls4t, pairs=pairs,
                             aux_loss=jnp.asarray(aux, jnp.float32))
     new_state = {"ocfr": new_ocfr, "bn": new_bn}

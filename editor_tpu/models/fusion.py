@@ -69,6 +69,25 @@ def blockmask_init(key: Array, dim: int = 768, mlp_ratio: float = 4.0) -> dict:
     return p
 
 
+def blockmask_moe_init(key: Array, dim: int = 768, mlp_ratio: float = 4.0,
+                       num_experts: int = 8) -> dict:
+    """BlockMask params with the JOINT MLP replaced by a GShard-style
+    mixture-of-experts FFN (parallel/moe.py) — the expert-parallel variant
+    of the fusion block. Per-modality blocks and both masked attentions are
+    unchanged; only the final MlpMasked over the concatenated 3·(1+P)
+    tokens becomes a routed expert bank (beyond-reference: SURVEY §2.2
+    names EP/MoE absent from the reference)."""
+    from editor_tpu.parallel.moe import moe_init
+
+    p = blockmask_init(key, dim=dim, mlp_ratio=mlp_ratio)
+    del p["mlp"]
+    # stored as a plain dict (not the MoEParams NamedTuple) so the param
+    # tree stays homogeneous for optimizers / checkpoints / converters
+    p["moe_mlp"] = moe_init(jax.random.fold_in(key, 99), dim,
+                            int(dim * mlp_ratio), num_experts)._asdict()
+    return p
+
+
 def _tile_mask(mask: Array, n_tokens: int) -> Array:
     """Repeat [B, M, 1] mask along tokens if the sequence is a k× concat
     (reference: vit_pytorch.py:159-161, 242-244)."""
@@ -101,6 +120,46 @@ def masked_mlp(p: dict, x: Array, mask: Array) -> Array:
     y = linear(p["fc1"], x * m)
     y = gelu(y)
     return linear(p["fc2"], y)
+
+
+def moe_masked_mlp(p, x: Array, mask: Array, moe_mesh=None,
+                   moe_shards: int = 1, k: int = 2,
+                   capacity_factor: float = 2.0,
+                   expert_axis: str = "expert") -> Tuple[Array, Array]:
+    """MlpMasked with the FFN replaced by the GShard MoE layer.
+
+    Same masking contract as :func:`masked_mlp` (tokens multiplied by the
+    mask before entering the FFN); the [B, N, C] sequence is flattened to
+    B·N tokens and routed to experts. With ``moe_mesh`` the experts and
+    tokens shard over ``expert_axis`` (one all_to_all each way,
+    parallel/moe.moe_ffn). Without a mesh, ``moe_shards`` emulates the
+    S-shard semantics exactly (per-shard routing + per-shard capacity
+    buffers, vmapped) — the single-device parity oracle of the meshed run.
+
+    Returns (y [B, N, C], load-balance aux loss).
+    """
+    from editor_tpu.parallel.moe import MoEParams, moe_ffn, moe_ffn_dense
+
+    if isinstance(p, dict):
+        p = MoEParams(**p)
+    m = _tile_mask(mask, x.shape[1]).astype(x.dtype)
+    B, N, C = x.shape
+    z = (x * m).reshape(B * N, C)
+    if moe_mesh is not None:
+        y, aux = moe_ffn(p, z, moe_mesh, expert_axis, k, capacity_factor)
+    else:
+        S = moe_shards
+        if z.shape[0] % S:
+            raise ValueError(
+                f"tokens {z.shape[0]} not divisible by moe_shards={S}")
+        Tl = z.shape[0] // S
+        E = p.router.shape[-1]
+        cap = int(capacity_factor * k * Tl / E) or 1
+        ys, auxs = jax.vmap(
+            lambda t: moe_ffn_dense(p, t, k, capacity=cap))(
+                z.reshape(S, Tl, C))
+        y, aux = ys.reshape(B * N, C), jnp.mean(auxs)
+    return y.reshape(B, N, C), aux
 
 
 def _stack_modal_params(params: dict, fmt: str,
@@ -169,19 +228,27 @@ def blockmask_apply(
     use_pallas: bool = True,
     tp_mesh=None,
     seq_mesh=None,
-) -> Tuple[Array, Optional[Array], Dict[str, Array]]:
+    moe_mesh=None,
+    moe_shards: int = 1,
+) -> Tuple[Array, Optional[Array], Dict[str, Array], Optional[Array]]:
     """BlockMask.forward (reference: vit_pytorch.py:309-352).
 
     ``seq_mesh``: run every masked attention sequence-sharded over a 'seq'
     mesh axis via the masked ring schedule (parallel/ring.py) — the SP
     demonstration SURVEY §7 scopes to this 3·(1+P)-token fusion block.
 
+    ``moe_mesh`` / ``moe_shards``: when ``params`` were built by
+    :func:`blockmask_moe_init`, the joint MLP is a GShard MoE — experts
+    sharded over the mesh's 'expert' axis, or (no mesh) ``moe_shards``
+    emulated shards as the parity oracle.
+
     Args:
       modal_feats: [RGB, NIR, TIR(optional None)] token tensors [B, 1+P, C].
       mask_patches: [B, P, 1] float union mask (no cls entry).
 
     Returns:
-      (fused tokens [B, k*(1+P), C], ocfr_loss or None, new ocfr centers).
+      (fused tokens [B, k*(1+P), C], ocfr_loss or None, new ocfr centers,
+       moe load-balance aux loss or None for the dense MLP).
     """
     B = modal_feats[0].shape[0]
     dtype = modal_feats[0].dtype
@@ -221,7 +288,15 @@ def blockmask_apply(
                                    layernorm(params["norm1"], x, LN_EPS),
                                    mask, num_heads, use_pallas, tp_mesh,
                                    seq_mesh)
-    x = x + masked_mlp(params["mlp"], layernorm(params["norm2"], x, LN_EPS), mask)
+    moe_aux = None
+    if "moe_mlp" in params:
+        y_moe, moe_aux = moe_masked_mlp(
+            params["moe_mlp"], layernorm(params["norm2"], x, LN_EPS), mask,
+            moe_mesh=moe_mesh, moe_shards=moe_shards)
+        x = x + y_moe
+    else:
+        x = x + masked_mlp(params["mlp"],
+                           layernorm(params["norm2"], x, LN_EPS), mask)
     x = layernorm(params["out_norm"], x, LN_EPS)
     x = x * _tile_mask(mask, x.shape[1]).astype(dtype)
-    return x, ocfr_loss, new_centers
+    return x, ocfr_loss, new_centers, moe_aux

@@ -115,12 +115,18 @@ def _expert_ffn(w1, b1, w2, b2, x):
 
 
 def moe_ffn_dense(params: MoEParams, x: Array, k: int = 2,
-                  capacity_factor: float = 2.0
+                  capacity_factor: float = 2.0,
+                  capacity: Optional[int] = None
                   ) -> Tuple[Array, Array]:
-    """Dense (no-mesh) MoE oracle. x: [T, D] → ([T, D], aux_loss)."""
+    """Dense (no-mesh) MoE oracle. x: [T, D] → ([T, D], aux_loss).
+
+    ``capacity`` overrides the derived per-expert slot count — used by the
+    single-device oracle of the expert-parallel path, whose capacity is
+    derived from the PER-SHARD token count (see moe_ffn)."""
     T, D = x.shape
     E = params.router.shape[-1]
-    C = int(capacity_factor * k * T / E) or 1
+    C = capacity if capacity is not None else (
+        int(capacity_factor * k * T / E) or 1)
     gates, idx, aux = _route(params.router, x, k)
     disp, comb = _dispatch_masks(idx, gates, E, C)
     xe = jnp.einsum("td,tec->ecd", x.astype(jnp.float32), disp)  # [E, C, D]

@@ -247,6 +247,12 @@ def export_editor_to_torch(params: dict, state: dict, ecfg,
     compatibility."""
     import torch
 
+    if "moe_mlp" in params.get("FUSE_block", {}):
+        raise ValueError(
+            "cannot export a MoE-fusion EDITOR (MODEL.MOE_EXPERTS > 0) to "
+            "the reference torch layout: the reference has no MoE — "
+            "retrain with MOE_EXPERTS 0 or keep Orbax checkpoints")
+
     a = lambda x: np.asarray(x)
     sd: Dict[str, np.ndarray] = {}
     for k, v in _tree_to_sd(params["BACKBONE"]).items():

@@ -170,7 +170,7 @@ def test_fusion_block_seq_sharded_matches_local():
                for m in ("rgb", "nir", "tir")}
 
     def run(params, seq_mesh=None):
-        fused, ocfr, _ = blockmask_apply(
+        fused, ocfr, _, _ = blockmask_apply(
             params, feats, mask_p, centers, labels, num_heads=4,
             training=True, use_pallas=False, seq_mesh=seq_mesh)
         return fused, ocfr

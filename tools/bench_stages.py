@@ -86,7 +86,7 @@ def main():
             keep = _tail_keep_count(ecfg, 3)
             if keep < ecfg.num_patches:
                 masked, index = _compact_selected(list(masked), index, keep)
-        fused, _, _ = blockmask_apply(
+        fused, _, _, _ = blockmask_apply(
             p["FUSE_block"], list(masked), index, s["ocfr"], None,
             num_heads=12, ocfr_momentum=0.8, training=False,
             use_pallas=ecfg.use_pallas)
