@@ -221,13 +221,12 @@ def bench_serving(on_tpu: bool, ecfg, params, model_state):
            for m in ("RGB", "NI", "TI")}
     fx(req)  # compile the 1-image bucket
     lats = []
-    for _ in range(50 if on_tpu else 3):
+    # enough samples that p99 is a real quantile, not the max of the run
+    for _ in range(300 if on_tpu else 3):
         t0 = time.perf_counter()
         fx(req)
         lats.append(1000.0 * (time.perf_counter() - t0))
-    lats.sort()
-    return lats[len(lats) // 2], lats[min(len(lats) - 1,
-                                          int(len(lats) * 0.99))]
+    return (float(np.percentile(lats, 50)), float(np.percentile(lats, 99)))
 
 
 if __name__ == "__main__":

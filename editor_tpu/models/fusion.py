@@ -79,6 +79,10 @@ def blockmask_moe_init(key: Array, dim: int = 768, mlp_ratio: float = 4.0,
     names EP/MoE absent from the reference)."""
     from editor_tpu.parallel.moe import moe_init
 
+    if num_experts < 2:
+        raise ValueError(
+            f"MOE_EXPERTS must be >= 2 (top-k routing with k=2), got "
+            f"{num_experts}; use MOE_EXPERTS 0 for the dense MLP")
     p = blockmask_init(key, dim=dim, mlp_ratio=mlp_ratio)
     del p["mlp"]
     # stored as a plain dict (not the MoEParams NamedTuple) so the param

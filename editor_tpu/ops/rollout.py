@@ -91,9 +91,15 @@ def _pallas_chain_split(pp: Array, pc: Array, group: int = 64) -> Array:
 
     L, B, H, N, P = pp.shape
     Z = B * H
-    g = group
-    while Z % g:
-        g //= 2
+    # Mosaic requires the block's second-minor dim (g for the [1, g, N]
+    # cls-column spec) to be a multiple of 8 or span the whole axis; pick
+    # the largest qualifying divisor of Z, else run the axis unsplit
+    # (batch-1 serving: Z = 36 has no 8-multiple divisor)
+    g = Z
+    for cand in range(min(group, Z), 0, -1):
+        if Z % cand == 0 and cand % 8 == 0:
+            g = cand
+            break
     ppf = pp.reshape(L, Z, N, P)
     pcf = pc.reshape(L, Z, N)
     out = pl.pallas_call(

@@ -51,10 +51,20 @@ def _fsdp_leaf_spec(leaf: Any, size: int) -> P:
         return P()
     if len(shape) >= 4:  # spatial conv kernels feed the residual stream
         return P()
+    if len(shape) == 3 and (shape[0] == 1 or shape[1] == 1):
+        # broadcast / embedding-table leaves ([1, N, C] pos-embeds,
+        # [K, 1, C] SIE tables) add straight into the activation stream —
+        # sharding their feature dim propagates a channel sharding into it
+        return P()
     for ax in sorted(range(len(shape)), key=lambda i: -shape[i]):
         if shape[ax] % size or shape[ax] < size:
             continue
-        others = [shape[i] for i in range(len(shape)) if i not in (ax, 0)]
+        # the leading dim of a STACKED (rank-3 scan) leaf is depth, not a
+        # competing width — exclude it from the comparison only there;
+        # for rank-2 all other dims compete (a square [C, C] proj must
+        # lose: its output IS the residual width)
+        others = [shape[i] for i in range(len(shape))
+                  if i != ax and not (i == 0 and len(shape) >= 3)]
         if all(shape[ax] > o for o in others):
             spec = [None] * len(shape)
             spec[ax] = "data"

@@ -113,6 +113,16 @@ def make_pipeline_backbone(mesh: Mesh, num_microbatches: int,
         if vcfg.depth % S:
             raise ValueError(
                 f"depth {vcfg.depth} not divisible by {axis_name}={S}")
+        if training and (vcfg.drop_path_rate > 0 or vcfg.drop_rate > 0
+                         or vcfg.attn_drop_rate > 0):
+            # the stage schedule does not thread per-layer PRNGs (see
+            # module docstring) — refuse rather than silently train
+            # without the configured regularization
+            raise NotImplementedError(
+                "pipeline backbone does not support stochastic depth / "
+                "dropout (drop_path_rate/drop_rate/attn_drop_rate > 0): "
+                "set MODEL.DROP_PATH / MODEL.DROP_OUT / MODEL.ATT_DROP_RATE "
+                "to 0, or train without pipeline parallelism")
         per = vcfg.depth // S
         M = len(mods)
         B = mods[0].shape[0]

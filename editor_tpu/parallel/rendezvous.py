@@ -244,6 +244,7 @@ class DynamicRendezvous:
         self.node_id = node_id or uuid.uuid4().hex[:8]
         self.keep_alive_interval = keep_alive_interval
         self.keep_alive_max_attempt = keep_alive_max_attempt
+        self._last_dead_scan = 0.0
 
     # -- state helpers -----------------------------------------------------
     _EMPTY = {"round": 0, "participants": {}, "waiting": {},
@@ -283,6 +284,18 @@ class DynamicRendezvous:
 
         threading.Thread(target=beat, daemon=True).start()
         return stop
+
+    def _drop_heartbeats(self, nodes) -> None:
+        """Delete the hb keys of nodes leaving the membership — without
+        this, node-id churn (fresh uuid per agent restart) grows the store
+        unboundedly. A live node whose key is dropped by a racing peer is
+        safe: dead_nodes falls back to its join timestamp until the next
+        beat re-creates the key."""
+        for node in nodes:
+            try:
+                self.store.delete(f"{self.key}/hb/{node}")
+            except OSError:
+                pass
 
     def dead_nodes(self, participants: Optional[Dict] = None) -> list:
         """Participants whose heartbeat exceeded the TTL (scale-down
@@ -339,12 +352,21 @@ class DynamicRendezvous:
                 self._wait_changed(raw, deadline)
                 continue
             # prune participants whose heartbeat expired BEFORE the round
-            # settles (a node that died mid-join must not get a rank)
-            dead = self.dead_nodes(st["participants"])
+            # settles (a node that died mid-join must not get a rank).
+            # Rate-limited to one scan per keep-alive interval: the scan is
+            # a store round-trip per participant, and wait_ne wakeups can
+            # make loop passes far more frequent than heartbeats; expiry
+            # persists once reached, so a bounded delay misses nothing
+            if time.time() - self._last_dead_scan >= self.keep_alive_interval:
+                self._last_dead_scan = time.time()
+                dead = self.dead_nodes(st["participants"])
+            else:
+                dead = []
             if dead:
                 alive = {k: v for k, v in st["participants"].items()
                          if k not in dead}
-                self._cas(raw, dict(st, participants=alive))
+                if self._cas(raw, dict(st, participants=alive)):
+                    self._drop_heartbeats(dead)
                 continue
             if self.node_id not in st["participants"]:
                 if len(st["participants"]) >= self.max_nodes:
@@ -397,7 +419,10 @@ class DynamicRendezvous:
             return
         new = {"round": raw["round"] + 1, "participants": {}, "waiting": {},
                "complete": False}
-        self.store.compare_and_swap(self.key, raw, new)
+        if self.store.compare_and_swap(self.key, raw, new)[0]:
+            # rejoining nodes re-create their hb keys on the next beat;
+            # keys of nodes that never come back would otherwise leak
+            self._drop_heartbeats(set(raw["participants"]) | set(raw["waiting"]))
 
     def set_closed(self) -> None:
         """Permanently close (reference RendezvousHandler.set_closed)."""

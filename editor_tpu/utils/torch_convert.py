@@ -188,6 +188,11 @@ def convert_editor_from_torch(path: str, ecfg, params: dict,
     """Full trained-EDITOR import: returns (params, state) with all heads,
     fusion block, BN stats and OCFR centers loaded (EDITOR.load_param
     equivalent, make_model.py:144-148)."""
+    if "moe_mlp" in params.get("FUSE_block", {}):
+        raise ValueError(
+            "cannot load a reference torch checkpoint into a MoE-fusion "
+            "EDITOR (MODEL.MOE_EXPERTS > 0): the reference has no MoE "
+            "fusion MLP — set MOE_EXPERTS 0 to import this checkpoint")
     sd = load_torch_state_dict(path)
     new_p = dict(params)
     new_p["BACKBONE"] = convert_vit_from_torch(sd, ecfg.vit, prefix="BACKBONE.base.")
