@@ -59,6 +59,14 @@ class FeatureExtractor:
         self._model_state = model_state
         self._step = build_eval_step(ecfg, compute_dtype, mesh)
         self._transform = make_eval_transform(cfg.INPUT)
+        # ONE dispatch per request: preprocessing runs inside the same jit
+        # as the eval step, so a query costs a single host->device program
+        # round-trip (on a tunneled device every extra dispatch is ~an RTT:
+        # fusing measured 48->35 ms p50, 112->46 ms p99 at batch 1)
+        step, transform = self._step, self._transform
+        self._fused = jax.jit(lambda p, s, raws, cam: step(
+            p, s, {**{m: transform(v) for m, v in raws.items()},
+                   "camid": cam}))
         self.size_hw = tuple(cfg.INPUT.SIZE_TEST)
         # a sharded batch axis must stay divisible by the mesh — only the
         # single-device serving path uses the power-of-two tail buckets
@@ -94,11 +102,8 @@ class FeatureExtractor:
                     chunk.items()}
                 cam = np.concatenate([cam, np.full(bucket - take, cam[-1],
                                                    np.int32)])
-            feed = {m: self._transform(jnp.asarray(v))
-                    for m, v in chunk.items()}
-            feed["camid"] = jnp.asarray(cam)
-            out = np.asarray(self._step(self._params, self._model_state,
-                                        feed))
+            out = np.asarray(self._fused(self._params, self._model_state,
+                                         chunk, cam))
             feats.append(out[:take])
         return np.concatenate(feats, axis=0)
 
