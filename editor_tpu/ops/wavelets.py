@@ -392,6 +392,76 @@ def swt2(x: Array, wave: str = "haar", J: int = 1,
     return out
 
 
+def _sfb1d_atrous(lo: Array, hi: Array, wave, axis: int, mode: str,
+                  dilation: int) -> Array:
+    """1D à trous synthesis along ``axis``: undo :func:`_afb1d_atrous`.
+
+    Equivalent of the reference ``sfb1d_atrous``
+    (pytorch_wavelets/dwt/swt_inverse.py:1-77) re-derived for correctness —
+    the reference's shipped ``SWTInverse.forward`` separable path actually
+    calls the DECIMATED ``sfb2d`` on undecimated coefficients
+    (swt_inverse.py:198-201), so it cannot reconstruct; this is the working
+    à-trous synthesis bank.
+
+    Math: the analysis pads ``(L2 - d, L2)`` and correlates with the
+    reversed dec filters (kernel dilation d), i.e. Y(z) = z^{L2} H(z^d) X(z)
+    with L2 = L·d/2. Synthesis pads the MIRROR ``(L2, L2 - d)`` and
+    correlates with the reversed rec filters, contributing
+    z^{(L-1)d - L2} G(z^d); summing both bands gives
+    z^{(L-1)d}·[G0·H0 + G1·H1](z^d)·X(z) = 2·X(z) by the undecimated PR
+    identity G0(z)H0(z) + G1(z)H1(z) = 2·z^{-(L-1)} — so halving the sum is
+    an exact, shift-free inverse. Boundary: exact everywhere for periodic
+    padding; for zero/symmetric the truncated analysis drops coefficients
+    outside [0, N), so reconstruction is exact only beyond an ``L·d`` border
+    (asserted in tests/test_wavelets.py).
+    """
+    _, _, rec_lo, rec_hi = wavelet_filters(wave)
+    L = len(rec_lo)
+    d = dilation
+    L2 = L * d // 2
+    k_lo = jnp.asarray(rec_lo[::-1].copy(), dtype=lo.dtype).reshape(1, L)
+    k_hi = jnp.asarray(rec_hi[::-1].copy(), dtype=hi.dtype).reshape(1, L)
+    lo_p = _pad_axis(lo, axis, L2, L2 - d, mode)
+    hi_p = _pad_axis(hi, axis, L2, L2 - d, mode)
+    y = (_grouped_conv_axis(lo_p, k_lo, axis, stride=1, rhs_dilation=d)[..., 0]
+         + _grouped_conv_axis(hi_p, k_hi, axis, stride=1,
+                              rhs_dilation=d)[..., 0])
+    return y * 0.5
+
+
+def _sfb2d_atrous(ll: Array, bands: Array, wave, mode: str,
+                  dilation: int) -> Array:
+    """One 2D à trous synthesis level: inverse of one :func:`swt2` level
+    (reference sfb2d_atrous, swt_inverse.py:80-124). ``bands`` is the
+    [B,H,W,C,3] (detail_H, detail_W, detail_diag) stack."""
+    lh, hl, hh = bands[..., 0], bands[..., 1], bands[..., 2]
+    lo_w = _sfb1d_atrous(ll, lh, wave, axis=1, mode=mode, dilation=dilation)
+    hi_w = _sfb1d_atrous(hl, hh, wave, axis=1, mode=mode, dilation=dilation)
+    return _sfb1d_atrous(lo_w, hi_w, wave, axis=2, mode=mode,
+                         dilation=dilation)
+
+
+def iswt2(coeffs: Sequence[Tuple[Array, Array]], wave: str = "haar",
+          mode: str = "periodic") -> Array:
+    """Inverse 2D stationary wavelet transform: reconstructs ``x`` from
+    :func:`swt2`'s output (reference ``SWTInverse``,
+    pytorch_wavelets/dwt/swt_inverse.py:126-213 — whose shipped separable
+    path is non-functional, see :func:`_sfb1d_atrous`).
+
+    ``coeffs``: the full J-level ``[(ll, bands), ...]`` list from
+    :func:`swt2` (only the deepest ``ll`` and every level's ``bands`` are
+    consumed, matching the (yl, yh) contract of the reference). Perfect
+    reconstruction for ``mode='periodic'`` (the :func:`swt2` default); for
+    zero/symmetric the border of ``L * 2**J`` pixels is approximate (the
+    truncated analysis is not information-preserving there).
+    """
+    coeffs = list(coeffs)
+    ll = coeffs[-1][0]
+    for j in reversed(range(len(coeffs))):
+        ll = _sfb2d_atrous(ll, coeffs[j][1], wave, mode, dilation=2 ** j)
+    return ll
+
+
 # ---------------------------------------------------------------------------
 # fast Haar path (zero mode, even extents)
 # ---------------------------------------------------------------------------

@@ -132,6 +132,47 @@ def test_swt2_matches_reference_atrous(wave, mode):
                 y[:, :, wb, hb], atol=2e-5, err_msg=f"level {j} band {b}")
         ll_t = torch.from_numpy(y[:, :, 0, 0]).contiguous()
 
+
+@pytest.mark.parametrize("wave", ["haar", "db2", "sym4"])
+@pytest.mark.parametrize("J", [1, 2, 3])
+def test_iswt2_perfect_reconstruction_periodic(wave, J):
+    """iswt2 exactly inverts swt2 in periodic mode (the swt2 default) —
+    reference SWTInverse capability (pytorch_wavelets/dwt/
+    swt_inverse.py:126-213; its shipped separable path calls the decimated
+    sfb2d and cannot reconstruct — ours is the working à-trous synthesis)."""
+    x = rand((2, 32, 16, 3), seed=7)
+    coeffs = W.swt2(x, wave, J=J, mode="periodic")
+    y = W.iswt2(coeffs, wave, mode="periodic")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=3e-5)
+
+
+@pytest.mark.parametrize("wave", ["haar", "db2", "sym4"])
+@pytest.mark.parametrize("mode", ["zero", "symmetric"])
+def test_iswt2_interior_reconstruction(wave, mode):
+    """Non-periodic modes: the truncated analysis loses boundary
+    coefficients, so PR holds beyond an L * 2**J border (documented in
+    ops/wavelets.iswt2)."""
+    J = 2
+    x = rand((1, 96, 96, 2), seed=8)
+    coeffs = W.swt2(x, wave, J=J, mode=mode)
+    y = W.iswt2(coeffs, wave, mode=mode)
+    L = len(W.wavelet_filters(wave)[0])
+    b = L * 2 ** J
+    np.testing.assert_allclose(np.asarray(y)[:, b:-b, b:-b],
+                               np.asarray(x)[:, b:-b, b:-b], atol=3e-5)
+
+
+def test_iswt2_grad_flows():
+    """The synthesis bank is differentiable end-to-end (it is jittable XLA
+    convs) — matters because SWT features feed losses in downstream use."""
+    x = rand((1, 16, 16, 1), seed=9)
+
+    def f(x):
+        return jnp.sum(W.iswt2(W.swt2(x, "db2", J=2), "db2") ** 2)
+
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
 # ---------------------------------------------------------------------------
 # named family breadth (round-3 verdict task 5: reference reaches any pywt
 # wavelet by name, pytorch_wavelets/dwt/transform2d.py:22-26)
