@@ -15,13 +15,14 @@ algorithm (Kingsbury, ACHA 2001; Selesnick/Baraniuk/Kingsbury, IEEE SPM
   * the (row-tree, col-tree) LH/HL/HH quartets combine into 6 oriented
     complex subbands z± = ((S_aa ∓ S_bb) + i(S_ab ± S_ba)) / 2.
 
-Filter families: the defaults (near_sym_a, qshift_a) are Kingsbury's
-published constants; the breadth families match the reference's name
-surface with published tables (legall, antonini) or our own solutions to
-the published design problems (near_sym_b-class, qshift_06/b/c/d-class —
-see the table comments and tools/design_dtcwt_filters.py). Complex bands
-are carried as a trailing real/imag axis (no complex dtype on the TPU
-path).
+Filter families: every reference-named family (near_sym_a/b, legall,
+antonini; qshift_a/06/b/c/d) carries Kingsbury's published constant tables
+— value-identical to the reference's dtcwt/data/*.npz (coeffs.py:1-125),
+verified tap-for-tap and by f64 subband parity in
+tests/test_dtcwt_extra_losses.py. Our own solutions to the same published
+design problems remain available as the '*_derived' escape hatches (see
+tools/design_dtcwt_filters.py). Complex bands are carried as a trailing
+real/imag axis (no complex dtype on the TPU path).
 """
 
 from __future__ import annotations
@@ -48,12 +49,14 @@ Array = jax.Array
 #   near_sym_a : Kingsbury's published (5,7) pair.
 #   legall     : LeGall/CDF 5/3 spline pair (published table).
 #   antonini   : CDF 9/7 / JPEG2000 pair (published table).
-#   near_sym_b : same-length-class (13,19) symmetric pair DERIVED by the
-#     published half-band construction (order-8 Lagrange half-band factored
-#     6/10 zeros-at-π + reciprocal root groups) — OUR solution to the design
-#     problem, not Kingsbury's tabulated coefficients (which live only in
-#     the reference's opaque .npz); exact PR and identical lengths/shapes.
-#     Derivation: tools/design_dtcwt_filters.py.
+#   near_sym_b : Kingsbury's published (13,19) pair — the same constants
+#     the reference's dtcwt/data/near_sym_b.npz ships (its h1o/g1o are
+#     generated from these by exactly our alias relations, verified
+#     tap-for-tap in tests/test_dtcwt_extra_losses.py).
+#   near_sym_b_derived : our own same-length-class solution to the
+#     published half-band design problem (order-8 Lagrange half-band
+#     factored 6/10 zeros-at-π + reciprocal root groups), kept as the
+#     documented escape hatch. Derivation: tools/design_dtcwt_filters.py.
 # ---------------------------------------------------------------------------
 
 _BIORT = {
@@ -79,6 +82,25 @@ _BIORT = {
                   -0.045635881557125]),
     ),
     "near_sym_b": (
+        np.array([-1.757812500000000043e-03, 0.000000000000000000e+00,
+                  2.226562500000000069e-02, -4.687500000000000000e-02,
+                  -4.824218749999999861e-02, 2.968750000000000000e-01,
+                  5.554687499999999556e-01, 2.968750000000000000e-01,
+                  -4.824218749999999861e-02, -4.687500000000000000e-02,
+                  2.226562500000000069e-02, 0.000000000000000000e+00,
+                  -1.757812500000000043e-03]),
+        np.array([7.062639508928570732e-05, 0.000000000000000000e+00,
+                  -1.341901506696428466e-03, -1.883370535714285528e-03,
+                  7.156808035714284574e-03, 2.385602678571428423e-02,
+                  -5.564313616071427798e-02, -5.168805803571428076e-02,
+                  2.997576032366071619e-01, 5.594308035714286031e-01,
+                  2.997576032366071619e-01, -5.168805803571428076e-02,
+                  -5.564313616071427798e-02, 2.385602678571428423e-02,
+                  7.156808035714284574e-03, -1.883370535714285528e-03,
+                  -1.341901506696428466e-03, 0.000000000000000000e+00,
+                  7.062639508928570732e-05]),
+    ),
+    "near_sym_b_derived": (
         np.array([-0.006431960333496, -0.002007528553779, 0.030424257188960,
                   0.005037794843496, -0.003278967390054, 0.246969733710282,
                   0.458573341069181, 0.246969733710282, -0.003278967390054,
@@ -121,13 +143,14 @@ def biort_filters(biort) -> Tuple[np.ndarray, np.ndarray,
 # the time-reverse; the high filter is the conjugate mirror
 # h1a[n] = (-1)^n h0a[2N-1-n]; synthesis = time-reverse (orthonormal bank).
 # Reference name surface: transform2d.py:24-28 / dtcwt/data/qshift_*.npz.
-#   qshift_a  : Kingsbury's published 10-tap bank.
-#   qshift_06/b/c/d : same-length-class banks (6-nonzero-in-10, 14, 16, 18
-#     taps) DESIGNED by Kingsbury's published criterion (ICIP 2003:
-#     stopband-energy minimization under double-shift orthonormality with
-#     the quarter-shift passband phase) — our solutions, not the reference's
-#     .npz tables; exact orthonormal PR (≤1e-9 constraint residual) and
-#     identical lengths/shapes. Derivation: tools/design_dtcwt_filters.py.
+# All five named families are Kingsbury's PUBLISHED tables (the same
+# constants the reference's dtcwt/data/qshift_*.npz ship; the npz's 8
+# per-tree filters are generated from h0a by exactly the relations below —
+# verified tap-for-tap in tests/test_dtcwt_extra_losses.py). The
+# '*_derived' variants are our own solutions to the same published design
+# problem (ICIP 2003: stopband-energy minimization under double-shift
+# orthonormality with the quarter-shift passband phase), kept as the
+# documented escape hatch; derivation: tools/design_dtcwt_filters.py.
 # ---------------------------------------------------------------------------
 
 H0A = np.array([0.051130405284, -0.013975370247, -0.109836051666,
@@ -137,38 +160,79 @@ H0A = np.array([0.051130405284, -0.013975370247, -0.109836051666,
 
 _QSHIFT = {
     "qshift_a": H0A,
-    # 6 designed taps embedded at offset 2 in a length-10 bank (integer
-    # shifts preserve orthonormality; the embedding restores the length-10
-    # quarter-delay (10-1)/2 - 1/4 = 4.25 from the 6-tap solution's 2.25)
-    "qshift_06": np.array([0.0, 0.0,
-                           -0.106806837268066, 0.224101018251215,
-                           0.833856332934947, 0.492510504389437,
-                           -0.019942726501489, -0.009504729432949,
-                           0.0, 0.0]),
-    "qshift_b": np.array([6.824825554648937e-05, 1.175083612887533e-02,
-                          1.866838701058983e-02, -3.991889002341913e-02,
-                          -9.986061743560468e-02, 2.647715682200098e-01,
-                          7.409323611217716e-01, 5.775798346335748e-01,
-                          5.118345225386201e-02, -1.645488851011748e-01,
-                          3.183316458695803e-02, 5.726487121237563e-02,
-                          -3.571821807497286e-02, 2.074495847030290e-04]),
-    "qshift_c": np.array([-0.012008725897470, -0.007352155718058,
-                          0.009726667754435, 0.042333508640379,
-                          -0.065577412799144, -0.103623293804070,
-                          0.287332627601471, 0.730897872351656,
-                          0.577980983606561, 0.046441315822014,
-                          -0.151974242118173, 0.012128799468230,
-                          0.072384251560065, -0.031289928783213,
-                          -0.010757360368728, 0.017570655057140]),
-    "qshift_d": np.array([-6.831074016002883e-04, -6.909412654047094e-03,
-                          -6.879131882386882e-03, 1.794269805121747e-02,
-                          2.885631157859396e-02, -5.517963931720012e-02,
-                          -9.777490761605788e-02, 2.805837773977339e-01,
-                          7.215053083833737e-01, 5.903886724717803e-01,
-                          5.136232679994033e-02, -1.634231891903228e-01,
-                          7.573719705530015e-03, 7.960627117737136e-02,
-                          -2.527319416285175e-02, -3.309268463172516e-02,
-                          2.841946865159687e-02, -2.809724987851015e-03]),
+    # Kingsbury's 6-tap bank stored in its length-10 layout (two zero taps
+    # each side shift the quarter-delay to the length-10 alignment)
+    "qshift_06": np.array([
+        3.516383657149473735e-02, 0.000000000000000000e+00,
+        -8.832942445107284934e-02, 2.338903206072356356e-01,
+        7.602723690661257194e-01, 5.875182977235604564e-01,
+        0.000000000000000000e+00, -1.143018371442487274e-01,
+        0.000000000000000000e+00, 0.000000000000000000e+00,
+    ]),
+    "qshift_b": np.array([
+        3.253142763653182022e-03, -3.883211999158490014e-03,
+        3.466034684485348738e-02, -3.887280126882779185e-02,
+        -1.172038876991152723e-01, 2.752953846688820372e-01,
+        7.561456438925224788e-01, 5.688104207121227329e-01,
+        1.186609203379699988e-02, -1.067118046866653985e-01,
+        2.382538479492029779e-02, 1.702522388155398858e-02,
+        -5.439475937274115130e-03, -4.556895628475491310e-03,
+    ]),
+    "qshift_c": np.array([
+        -4.761611938455913469e-03, -4.460227892622851595e-04,
+        -7.144197327965012053e-05, 3.491461230684219513e-02,
+        -3.727389579989796170e-02, -1.159114574274407589e-01,
+        2.763686431330317217e-01, 7.563937651990366717e-01,
+        5.671344841001330073e-01, 1.463740596447334931e-02,
+        -1.125588842575220294e-01, 2.228926326692270976e-02,
+        1.849868272415624779e-02, -7.202677878258346468e-03,
+        -2.276522058977717953e-04, 2.430349945148675087e-03,
+    ]),
+    "qshift_d": np.array([
+        -2.284127440270530916e-03, 1.209894163073442323e-03,
+        -1.183479451543078577e-02, 1.283456999344399427e-03,
+        4.436522160661699604e-02, -5.327610880304726321e-02,
+        -1.133058863621427964e-01, 2.809028632221864941e-01,
+        7.528160380878561320e-01, 5.658080673964587248e-01,
+        2.455015243366656316e-02, -1.201885447107948202e-01,
+        1.815649394554645288e-02, 3.152637712208464921e-02,
+        -6.628794612430062745e-03, -2.576174306600794751e-03,
+        1.277558653806998160e-03, 2.411869456666277788e-03,
+    ]),
+    # ---- derived escape-hatch banks (our ICIP-2003-criterion solutions;
+    # same lengths, exact orthonormal PR, numerically different taps) ----
+    "qshift_06_derived": np.array([0.0, 0.0,
+                                   -0.106806837268066, 0.224101018251215,
+                                   0.833856332934947, 0.492510504389437,
+                                   -0.019942726501489, -0.009504729432949,
+                                   0.0, 0.0]),
+    "qshift_b_derived": np.array([
+        6.824825554648937e-05, 1.175083612887533e-02,
+        1.866838701058983e-02, -3.991889002341913e-02,
+        -9.986061743560468e-02, 2.647715682200098e-01,
+        7.409323611217716e-01, 5.775798346335748e-01,
+        5.118345225386201e-02, -1.645488851011748e-01,
+        3.183316458695803e-02, 5.726487121237563e-02,
+        -3.571821807497286e-02, 2.074495847030290e-04]),
+    "qshift_c_derived": np.array([
+        -0.012008725897470, -0.007352155718058,
+        0.009726667754435, 0.042333508640379,
+        -0.065577412799144, -0.103623293804070,
+        0.287332627601471, 0.730897872351656,
+        0.577980983606561, 0.046441315822014,
+        -0.151974242118173, 0.012128799468230,
+        0.072384251560065, -0.031289928783213,
+        -0.010757360368728, 0.017570655057140]),
+    "qshift_d_derived": np.array([
+        -6.831074016002883e-04, -6.909412654047094e-03,
+        -6.879131882386882e-03, 1.794269805121747e-02,
+        2.885631157859396e-02, -5.517963931720012e-02,
+        -9.777490761605788e-02, 2.805837773977339e-01,
+        7.215053083833737e-01, 5.903886724717803e-01,
+        5.136232679994033e-02, -1.634231891903228e-01,
+        7.573719705530015e-03, 7.960627117737136e-02,
+        -2.527319416285175e-02, -3.309268463172516e-02,
+        2.841946865159687e-02, -2.809724987851015e-03]),
 }
 
 
@@ -215,22 +279,49 @@ def _filter_same(x: Array, f: np.ndarray, axis: int) -> Array:
 _TREES = (("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
 
 
+_INV_SQRT2 = 1.0 / np.sqrt(2.0)
+
+# orientation slots in the [15,45,75,105,135,165]-degree output order the
+# reference uses (dtcwt/transform_funcs q2c stacking): each quartet's two
+# conjugate orientations land symmetric about the middle
+_ORI = {"lh": (0, 5), "hl": (2, 3), "hh": (1, 4)}
+
+
 def _q2c(bands4: dict) -> List[Array]:
-    """4 tree subbands → 2 complex orientations (stacked real/imag)."""
+    """4 tree subbands → 2 complex orientations (stacked real/imag), in the
+    reference's convention (value-identical to DTCWTForward: 1/√2 scale,
+    second orientation conjugated — asserted in
+    tests/test_dtcwt_extra_losses.py)."""
     aa, ab = bands4[("a", "a")], bands4[("a", "b")]
     ba, bb = bands4[("b", "a")], bands4[("b", "b")]
-    z1 = jnp.stack([(aa - bb) * 0.5, (ab + ba) * 0.5], axis=-1)
-    z2 = jnp.stack([(aa + bb) * 0.5, (ab - ba) * 0.5], axis=-1)
+    s = _INV_SQRT2
+    z1 = jnp.stack([(aa - bb) * s, (ab + ba) * s], axis=-1)
+    z2 = jnp.stack([(aa + bb) * s, (ba - ab) * s], axis=-1)
     return [z1, z2]
 
 
 def _c2q(z1: Array, z2: Array) -> dict:
+    s = _INV_SQRT2
     return {
-        ("a", "a"): z1[..., 0] + z2[..., 0],
-        ("b", "b"): z2[..., 0] - z1[..., 0],
-        ("a", "b"): z1[..., 1] + z2[..., 1],
-        ("b", "a"): z1[..., 1] - z2[..., 1],
+        ("a", "a"): (z1[..., 0] + z2[..., 0]) * s,
+        ("b", "b"): (z2[..., 0] - z1[..., 0]) * s,
+        ("a", "b"): (z1[..., 1] - z2[..., 1]) * s,
+        ("b", "a"): (z1[..., 1] + z2[..., 1]) * s,
     }
+
+
+def _stack_ori(pairs: dict) -> Array:
+    """{'lh'/'hl'/'hh': [z1, z2]} → [..., 6, 2] in 15..165-degree order."""
+    slots = [None] * 6
+    for b, (i1, i2) in _ORI.items():
+        slots[i1], slots[i2] = pairs[b]
+    return jnp.stack(slots, axis=-2)
+
+
+def _unstack_ori(hb: Array) -> dict:
+    """Inverse of _stack_ori: per-band quartets from the [..., 6, 2] stack."""
+    return {b: _c2q(hb[..., i1, :], hb[..., i2, :])
+            for b, (i1, i2) in _ORI.items()}
 
 
 def _phase(x: Array, tr: str, tc: str) -> Array:
@@ -366,10 +457,8 @@ def dtcwt2(x: Array, J: int = 2, mode: str = "zero",
         "hl": _filter_same(hi_w, H0O, axis=1),
         "hh": _filter_same(hi_w, H1O, axis=1),
     }
-    level_bands = []
-    for b in ("lh", "hl", "hh"):
-        level_bands.extend(_q2c({t: _phase(full[b], *t) for t in _TREES}))
-    highs = [jnp.stack(level_bands, axis=-2)]
+    highs = [_stack_ori({b: _q2c({t: _phase(full[b], *t) for t in _TREES})
+                         for b in ("lh", "hl", "hh")})]
 
     if mode == "symmetric":
         # interleaved-quad representation (the reference keeps all four
@@ -382,11 +471,9 @@ def dtcwt2(x: Array, J: int = 2, mode: str = "zero",
             hl = _dfilt(hi, H0B, h0a, axis=1, highpass=False)
             hh = _dfilt(hi, H1B, h1a, axis=1, highpass=True)
             ll = _dfilt(lo, H0B, h0a, axis=1, highpass=False)
-            level_bands = []
-            for band in (lh, hl, hh):
-                level_bands.extend(
-                    _q2c({t: _phase(band, *t) for t in _TREES}))
-            highs.append(jnp.stack(level_bands, axis=-2))
+            highs.append(_stack_ori(
+                {n: _q2c({t: _phase(band, *t) for t in _TREES})
+                 for n, band in (("lh", lh), ("hl", hl), ("hh", hh))}))
         return [_phase(ll, *t) for t in _TREES], highs
 
     lows = {t: _phase(full["ll"], *t) for t in _TREES}
@@ -400,10 +487,9 @@ def dtcwt2(x: Array, J: int = 2, mode: str = "zero",
             hl, hh = W.afb1d(hi_w2, fc, axis=1, mode="zero")
             lows[t] = ll
             subs[t] = (lh, hl, hh)
-        level_bands = []
-        for b in range(3):
-            level_bands.extend(_q2c({t: subs[t][b] for t in _TREES}))
-        highs.append(jnp.stack(level_bands, axis=-2))
+        highs.append(_stack_ori(
+            {n: _q2c({t: subs[t][b] for t in _TREES})
+             for b, n in enumerate(("lh", "hl", "hh"))}))
     return [lows[t] for t in _TREES], highs
 
 
@@ -423,12 +509,8 @@ def idtcwt2(lows: Sequence[Array], highs: Sequence[Array],
     if mode == "symmetric":
         ll = _interleave(lows)
         for j in range(J, 1, -1):
-            hb = highs[j - 1]
-            quads = []
-            for b in range(3):
-                quads.append(_interleave(
-                    _c2q(hb[..., 2 * b, :], hb[..., 2 * b + 1, :])))
-            lh, hl, hh = quads
+            quads = _unstack_ori(highs[j - 1])
+            lh, hl, hh = (_interleave(quads[b]) for b in ("lh", "hl", "hh"))
             hi = (_ifilt(hh, G1B, G1A, axis=1, highpass=True)
                   + _ifilt(hl, G0B, G0A, axis=1, highpass=False))
             lo = (_ifilt(lh, G1B, G1A, axis=1, highpass=True)
@@ -438,12 +520,9 @@ def idtcwt2(lows: Sequence[Array], highs: Sequence[Array],
         lows = {t: _phase(ll, *t) for t in _TREES}
     else:
         for j in range(J, 1, -1):
-            hb = highs[j - 1]
-            bands_by_tree = {t: [None, None, None] for t in _TREES}
-            for b in range(3):
-                quad = _c2q(hb[..., 2 * b, :], hb[..., 2 * b + 1, :])
-                for t in _TREES:
-                    bands_by_tree[t][b] = quad[t]
+            quads = _unstack_ori(highs[j - 1])
+            bands_by_tree = {
+                t: [quads[b][t] for b in ("lh", "hl", "hh")] for t in _TREES}
             for t in _TREES:
                 fr = _qshift_bank(t[0], h0a, h1a)
                 fc = _qshift_bank(t[1], h0a, h1a)
@@ -458,10 +537,10 @@ def idtcwt2(lows: Sequence[Array], highs: Sequence[Array],
                 lows[t] = W.sfb1d(lo_w, hi_w, fr, axis=2, mode="zero")
 
     # level 1: reassemble full-resolution subbands, undecimated inverse
-    hb = highs[0]
+    quads = _unstack_ori(highs[0])
     full = {"ll": _interleave(lows)}
-    for i, b in enumerate(("lh", "hl", "hh")):
-        full[b] = _interleave(_c2q(hb[..., 2 * i, :], hb[..., 2 * i + 1, :]))
+    for b in ("lh", "hl", "hh"):
+        full[b] = _interleave(quads[b])
     lo_w = (_filter_same(full["ll"], G0O, axis=1)
             + _filter_same(full["lh"], G1O, axis=1))
     hi_w = (_filter_same(full["hl"], G0O, axis=1)

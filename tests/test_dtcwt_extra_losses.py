@@ -246,8 +246,11 @@ def test_aux_losses_golden_vs_reference():
 # surface, pytorch_wavelets/dtcwt/transform2d.py:24-28)
 # ---------------------------------------------------------------------------
 
-_BIORTS = ["near_sym_a", "legall", "antonini", "near_sym_b"]
-_QSHIFTS = ["qshift_a", "qshift_06", "qshift_b", "qshift_c", "qshift_d"]
+_BIORTS = ["near_sym_a", "legall", "antonini", "near_sym_b",
+           "near_sym_b_derived"]
+_QSHIFTS = ["qshift_a", "qshift_06", "qshift_b", "qshift_c", "qshift_d",
+            "qshift_06_derived", "qshift_b_derived", "qshift_c_derived",
+            "qshift_d_derived"]
 
 
 @pytest.mark.parametrize("biort", _BIORTS)
@@ -304,29 +307,69 @@ def test_family_perfect_reconstruction(biort, qshift, mode):
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
 
 
+def test_filter_tables_match_reference_npz():
+    """Every named family's coefficient bank IS the reference's published
+    Kingsbury table (dtcwt/data/*.npz via coeffs.py:1-125) — including the
+    derived relations that generate the npz's remaining 8 per-tree filters
+    from h0a (round-3 verdict task 4: value identity, not just same-class
+    designs)."""
+    from editor_tpu.ops.dtcwt import biort_filters, qshift_filters
+
+    for name in ("near_sym_a", "near_sym_b"):
+        d = np.load(f"/root/reference/pytorch_wavelets/dtcwt/data/{name}.npz")
+        h0, h1, g0, g1 = biort_filters(name)
+        np.testing.assert_allclose(h0, d["h0o"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h1, d["h1o"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(g0, d["g0o"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(g1, d["g1o"].ravel(), atol=1e-15)
+    for name in ("qshift_a", "qshift_06", "qshift_b", "qshift_c",
+                 "qshift_d"):
+        d = np.load(f"/root/reference/pytorch_wavelets/dtcwt/data/{name}.npz")
+        h0a, h1a = qshift_filters(name)
+        np.testing.assert_allclose(h0a, d["h0a"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h1a, d["h1a"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h0a[::-1], d["h0b"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h1a[::-1], d["h1b"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h0a[::-1], d["g0a"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h0a, d["g0b"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h1a[::-1], d["g1a"].ravel(), atol=1e-15)
+        np.testing.assert_allclose(h1a, d["g1b"].ravel(), atol=1e-15)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("biort,qshift", [
-    ("legall", "qshift_06"), ("antonini", "qshift_b"),
-    ("near_sym_b", "qshift_c"), ("near_sym_a", "qshift_d")])
-def test_family_shape_parity_vs_reference(biort, qshift):
-    """Subband SHAPES match the reference's DTCWTForward for every family
-    (values differ for the derived-not-tabulated banks — see the design
-    notes in ops/dtcwt.py; lengths and therefore shapes are identical)."""
+    ("near_sym_a", "qshift_a"), ("legall", "qshift_06"),
+    ("antonini", "qshift_b"), ("near_sym_b", "qshift_c"),
+    ("near_sym_a", "qshift_d"), ("near_sym_b", "qshift_06")])
+def test_family_value_parity_vs_reference(biort, qshift):
+    """f64 subband VALUE parity vs the reference's DTCWTForward for every
+    named family (round-3 verdict task 4) — layout map: ours
+    [B,h,w,C,6,2] == theirs [B,C,6,h,w,2] transposed, same 15..165-degree
+    orientation order and complex convention."""
     from tests.reference_compat import load_reference_modeling
     load_reference_modeling()
     import torch
     from pytorch_wavelets import DTCWTForward
 
-    x_np = np.random.RandomState(5).randn(2, 3, 32, 16).astype(np.float32)
-    ref = DTCWTForward(J=2, biort=biort, qshift=qshift)
-    yl, yh = ref(torch.from_numpy(x_np))
+    from jax import config as jcfg
+    jcfg.update("jax_enable_x64", True)
+    try:
+        torch.set_default_dtype(torch.float64)
+        x_np = np.random.RandomState(5).randn(2, 3, 32, 16)
+        ref = DTCWTForward(J=2, biort=biort, qshift=qshift).double()
+        yl, yh = ref(torch.from_numpy(x_np))
 
-    lows, highs = dtcwt2(jnp.asarray(x_np.transpose(0, 2, 3, 1)), J=2,
-                         mode="symmetric", biort=biort, qshift=qshift)
-    # ours: 4 per-tree lowpass [B,h,w,C]; reference: interleaved [B,C,2h,2w]
-    assert tuple(yl.shape) == (2, 3, 2 * lows[0].shape[1],
-                               2 * lows[0].shape[2])
-    for j in range(2):
-        B, h, w, C, O, _ = highs[j].shape
-        assert tuple(yh[j].shape) == (B, C, O, h, w, 2), (
-            j, tuple(yh[j].shape), highs[j].shape)
+        lows, highs = dtcwt2(jnp.asarray(x_np.transpose(0, 2, 3, 1)), J=2,
+                             mode="symmetric", biort=biort, qshift=qshift)
+        for j in range(2):
+            ours = np.asarray(highs[j]).transpose(0, 3, 4, 1, 2, 5)
+            np.testing.assert_allclose(ours, yh[j].numpy(), atol=1e-11,
+                                       err_msg=f"level {j}")
+        # lowpass: ours is 4 per-tree phases; theirs the 2x2 interleave
+        from editor_tpu.ops.dtcwt import _TREES, _interleave
+        ll = _interleave(dict(zip(_TREES, lows)))
+        np.testing.assert_allclose(np.asarray(ll).transpose(0, 3, 1, 2),
+                                   yl.numpy(), atol=1e-11)
+    finally:
+        torch.set_default_dtype(torch.float32)
+        jcfg.update("jax_enable_x64", False)
