@@ -38,6 +38,7 @@ def pipeline_apply(
     remat: bool = False,
     stage_param_spec: Any = None,
     batch_axis: Optional[str] = None,
+    activation_spec: Any = None,
 ) -> Any:
     """Run ``x`` through S pipeline stages.
 
@@ -59,6 +60,12 @@ def pipeline_apply(
       batch_axis: optional second mesh axis the MICROBATCH dim is sharded
         over (dp x pp composition: each 'data' row of the mesh pipelines its
         own batch shard; gradients combine via the jit-level psum outside).
+      activation_spec: optional PartitionSpec pytree matching ``x``, one
+        entry per ORIGINAL leaf dim [B, d1, ...], overriding the
+        batch_axis-derived specs — lets an activation leaf ride a tensor-
+        parallel mesh axis through the schedule (e.g. the EDITOR backbone's
+        rollout product sharded over 'model' on its heads dim under PP x TP,
+        parallel/pipeline_vit.py).
 
     Returns: [B, ...] output activations (from the last stage), same pytree
     structure as ``x``.
@@ -112,7 +119,16 @@ def pipeline_apply(
 
     stage_spec = stage_param_spec if stage_param_spec is not None else \
         tmap(lambda _: P(axis_name), stage_params)
-    if batch_axis is None:
+    if activation_spec is not None:
+        # [M, mb, d1, ...] in, [S, M, mb, d1, ...] out — per-leaf specs
+        # over the original [B, d1, ...] dims (B's entry shards mb)
+        in_spec = jax.tree_util.tree_map(
+            lambda s: P(None, *s), activation_spec,
+            is_leaf=lambda s: isinstance(s, P))
+        out_spec = jax.tree_util.tree_map(
+            lambda s: P(axis_name, None, *s), activation_spec,
+            is_leaf=lambda s: isinstance(s, P))
+    elif batch_axis is None:
         in_spec, out_spec = P(), P(axis_name)
     else:
         # [M, mb, ...] in, [S, M, mb, ...] out — mb sharded over batch_axis

@@ -611,6 +611,129 @@ def test_grad_accum_runs_and_advances(mesh):
     assert np.isfinite(float(m_b["loss"]))
 
 
+def test_editor_pipeline_tp_train_matches_single_device(mesh):
+    """PP x TP on the REAL EDITOR (round-3 verdict task 2): the ViT blocks
+    are stage-partitioned over 'stage' AND Megatron-split over 'model'
+    inside the ppermute schedule, on the full ('data','stage','model') =
+    2x2x2 mesh, with the flagship DROP_PATH=0.1 active. Loss and post-step
+    params (inverse-permuted back to the canonical qkv layout) match the
+    single-device step. Matches reference Pipe-over-real-modules
+    (distributed/pipeline/sync/pipe.py:172) + SURVEY §7.9."""
+    from jax.sharding import NamedSharding
+
+    from editor_tpu.config import Config
+    from editor_tpu.engine import build_train_step, make_train_state
+    from editor_tpu.losses import make_loss
+    from editor_tpu.models import EditorConfig, ViTConfig
+    from editor_tpu.models.editor import editor_init
+    from editor_tpu.parallel.pipeline_vit import make_pipeline_backbone
+    from editor_tpu.parallel.tp import permute_qkv_params
+    from editor_tpu.solver import make_optimizer, make_scheduler
+
+    vit = ViTConfig(img_size=(64, 32), patch_size=16, stride_size=(16, 16),
+                    embed_dim=96, depth=4, num_heads=4, mlp_ratio=2.0,
+                    camera=2, drop_path_rate=0.1)
+    ecfg = EditorConfig(num_classes=4, vit=vit, head_keep=2, frequency_keep=3,
+                        use_pallas=False)
+    cfg = Config()
+    loss_func = make_loss(cfg, 4)
+    lr_fn = make_scheduler(cfg)
+    opt = make_optimizer(cfg, editor_init(jax.random.PRNGKey(0), ecfg)[0])
+
+    B = 4
+    rng = np.random.RandomState(0)
+    batch = {
+        **{m: jnp.asarray(rng.randn(B, 64, 32, 3), jnp.float32)
+           for m in ("RGB", "NI", "TI")},
+        "pid": jnp.asarray(np.arange(B) % 2),
+        "camid": jnp.zeros((B,), jnp.int32),
+    }
+
+    s_ref = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    step_ref = build_train_step(ecfg, opt, loss_func, lr_fn,
+                                cfg.SOLVER.BASE_LR,
+                                compute_dtype=jnp.float32, donate=False)
+    s_ref, m_ref = step_ref(s_ref, batch, jnp.asarray(1))
+
+    tp = 2
+    mesh3 = Mesh(np.asarray(jax.devices()).reshape(2, 2, tp),
+                 ("data", "stage", "model"))
+    s_pp = make_train_state(jax.random.PRNGKey(0), ecfg, opt)
+    # shard-major qkv layout so each model-shard's column slice is a
+    # self-contained [q|k|v] block (parallel/tp.py contract)
+    import dataclasses as _dc
+    s_pp = _dc.replace(s_pp, params=permute_qkv_params(
+        s_pp.params, vit.num_heads, tp))
+    step_pp = build_train_step(
+        ecfg, opt, loss_func, lr_fn, cfg.SOLVER.BASE_LR,
+        compute_dtype=jnp.float32, mesh=mesh3, donate=False,
+        backbone=make_pipeline_backbone(mesh3, num_microbatches=2))
+    batch_d = {k: jax.device_put(v, NamedSharding(mesh3, P("data")))
+               for k, v in batch.items()}
+    s_pp, m_pp = step_pp(s_pp, batch_d, jnp.asarray(1))
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=2e-5)
+    # SGD commutes with the column permutation, so the inverse-permuted
+    # post-step params must equal the canonical single-device ones
+    back = permute_qkv_params(s_pp.params, vit.num_heads, tp, inverse=True)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            jax.tree_util.tree_leaves_with_path(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=3e-6,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
+@pytest.mark.parametrize("rate", [0.1, 0.5])
+def test_pipeline_drop_path_exact_parity(rate):
+    """The pipelined backbone reproduces the scan backbone's EXACT
+    stochastic-depth pattern given the same seed (round-3 verdict task 3):
+    the per-(layer, sample) uniform draws are precomputed with vit_apply's
+    split sequence and threaded through the stage schedule, so training
+    outputs match draw-for-draw — at rate 0.5 a single mismatched mask
+    would produce O(1) divergence, so the tight tolerance certifies the
+    pattern itself. Matches reference DropPath-under-Pipe capability
+    (vit_pytorch.py:72 under distributed/pipeline/sync/pipe.py:172)."""
+    from editor_tpu.models.vit import ViTConfig, vit_apply, vit_init
+    from editor_tpu.parallel.pipeline_vit import make_pipeline_backbone
+
+    vcfg = ViTConfig(img_size=(64, 32), patch_size=16, stride_size=(16, 16),
+                     embed_dim=96, depth=4, num_heads=4, mlp_ratio=2.0,
+                     camera=0, drop_path_rate=rate)
+    params = {"BACKBONE": vit_init(jax.random.PRNGKey(0), vcfg)}
+    rng = np.random.RandomState(0)
+    B = 4
+    mods = [jnp.asarray(rng.randn(B, 64, 32, 3), jnp.float32)
+            for _ in range(3)]
+    key = jax.random.PRNGKey(7)
+
+    big = jnp.concatenate(mods, axis=0)
+    toks_ref, roll_ref = vit_apply(params["BACKBONE"], big, vcfg,
+                                   training=True, rng=key)
+
+    class _Cfg:
+        vit = vcfg
+
+    smesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+    bb = make_pipeline_backbone(smesh, num_microbatches=4)
+    toks, rolls = jax.jit(
+        lambda p: bb(p, _Cfg(), mods, None, None, True, key))(params)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(toks, 0)),
+                               np.asarray(toks_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(rolls, 0)),
+                               np.asarray(roll_ref), atol=2e-6)
+
+    # gradients flow through the drop-path pipeline (remat'd stage fn)
+    def loss(p):
+        t, _ = bb(p, _Cfg(), mods, None, None, True, key)
+        return sum(jnp.mean(jnp.square(x)) for x in t)
+
+    g = jax.jit(jax.grad(loss))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
 def test_editor_pipeline_train_matches_single_device(mesh):
     """The REAL EDITOR model trains THROUGH pipeline parallelism: the ViT's
     depth-stacked blocks are stage-partitioned over a 'stage' mesh
@@ -618,7 +741,9 @@ def test_editor_pipeline_train_matches_single_device(mesh):
     in the reference Pipe, distributed/pipeline/sync/pipe.py:172), with the
     attention-rollout product carried across stage boundaries. Loss and the
     post-step params match the single-device step, both on a pure 'stage'
-    mesh and on a composed ('data','stage') dp x pp mesh."""
+    mesh and on a composed ('data','stage') dp x pp mesh — with the
+    flagship's default DROP_PATH=0.1 active (the pipeline threads the
+    exact drop-path draws, so the same state rng gives the same masks)."""
     from jax.sharding import NamedSharding
 
     from editor_tpu.config import Config
@@ -631,7 +756,7 @@ def test_editor_pipeline_train_matches_single_device(mesh):
 
     vit = ViTConfig(img_size=(64, 32), patch_size=16, stride_size=(16, 16),
                     embed_dim=96, depth=4, num_heads=4, mlp_ratio=2.0,
-                    camera=2, drop_path_rate=0.0)
+                    camera=2, drop_path_rate=0.1)
     ecfg = EditorConfig(num_classes=4, vit=vit, head_keep=2, frequency_keep=3,
                         use_pallas=False)
     cfg = Config()
