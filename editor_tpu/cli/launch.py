@@ -32,10 +32,11 @@ def main(argv=None):
     parser.add_argument("--rdzv_backend", default="static",
                         help="rendezvous backend from the registry: "
                              "'static' (env-based ranks, the default), "
-                             "'c10d' (TCPStore at --rdzv_endpoint), or "
-                             "'file' (--rdzv_endpoint is a shared path)")
+                             "'c10d' (TCPStore at --rdzv_endpoint), "
+                             "'etcd' (etcd v3 gateway at --rdzv_endpoint), "
+                             "or 'file' (--rdzv_endpoint is a shared path)")
     parser.add_argument("--rdzv_endpoint", default="",
-                        help="host:port (c10d) or filesystem path (file)")
+                        help="host:port (c10d/etcd) or filesystem path (file)")
     parser.add_argument("--rdzv_id", default="editor_tpu_job")
     parser.add_argument("--min_nodes", type=int, default=None,
                         help="elastic lower bound (defaults to --nnodes)")

@@ -732,6 +732,19 @@ def _create_file(params: RendezvousParameters) -> RendezvousHandler:
     return _DynamicHandler("file", FileStore(params.endpoint), params)
 
 
+def _create_etcd(params: RendezvousParameters) -> RendezvousHandler:
+    """etcd backend (reference elastic/rendezvous/etcd_rendezvous.py:77,
+    etcd_store.py:26): the same DynamicRendezvous state machine over an
+    etcd v3 HTTP/JSON gateway at --rdzv_endpoint HOST:PORT
+    (parallel/etcd.EtcdStore; parallel/etcd.EtcdServer is the bundled
+    in-process dev server, like the reference's etcd_server.py:77)."""
+    from editor_tpu.parallel.etcd import EtcdStore
+    host, port = _parse_hostport(params.endpoint, "etcd")
+    store = EtcdStore(f"{host}:{port}",
+                      prefix=str(params.get("prefix", "/editor_tpu/")))
+    return _DynamicHandler("etcd", store, params)
+
+
 def _create_static(params: RendezvousParameters) -> RendezvousHandler:
     store = None
     if ":" in params.endpoint:
@@ -744,6 +757,7 @@ def _create_static(params: RendezvousParameters) -> RendezvousHandler:
 rendezvous_registry = RendezvousHandlerRegistry()
 rendezvous_registry.register("c10d", _create_c10d)
 rendezvous_registry.register("file", _create_file)
+rendezvous_registry.register("etcd", _create_etcd)
 rendezvous_registry.register("static", _create_static)
 
 

