@@ -44,6 +44,26 @@ def initialize(coordinator_address: Optional[str] = None,
                                process_id=process_id)
 
 
+def barrier(name: str = "editor_tpu_barrier") -> None:
+    """Cross-process host barrier (reference ``dist.barrier``) — a tiny
+    device all-gather under the hood; no-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def shutdown() -> None:
+    """``destroy_process_group`` equivalent (reference
+    distributed_c10d.py:destroy_process_group): barrier so no process
+    leaves while peers still dispatch collectives, then disconnect from
+    the coordination service. Without the barrier, exit skew (e.g. rank 0
+    still writing a checkpoint) trips the service's shutdown barrier and
+    kills the faster process."""
+    if jax.process_count() > 1:
+        barrier("editor_tpu_shutdown")
+        jax.distributed.shutdown()
+
+
 def process_index() -> int:
     return jax.process_index()
 
