@@ -29,15 +29,33 @@ def main(argv=None):
                         help="KEY VALUE config overrides")
     args = parser.parse_args(argv)
 
+    if os.environ.get("EDITOR_TPU_PLATFORM"):
+        # explicit platform override (e.g. multi-process CPU clusters on a
+        # host whose sitecustomize pins another platform) — must land
+        # before any backend use
+        import jax
+        jax.config.update("jax_platforms", os.environ["EDITOR_TPU_PLATFORM"])
+
     from editor_tpu.config import load_config
     cfg = load_config(args.config_file or None, args.opts or None)
     set_seed(cfg.SOLVER.SEED)
+
+    # join the multi-host cluster when launched under cli.launch / torchrun
+    # env (MASTER_ADDR & co.); no-op for single-process runs
+    from editor_tpu.parallel import multihost
+    multihost.initialize()
+
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
-        f.write(cfg.dump())
+    if multihost.is_primary():
+        with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
 
     from editor_tpu.engine.loop import do_train
-    result = do_train(cfg)
+    try:
+        result = do_train(cfg)
+    finally:
+        # destroy_process_group equivalent: absorb exit skew across ranks
+        multihost.shutdown()
     print("Best:", result["best"])
     return result
 

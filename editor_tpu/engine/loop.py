@@ -24,7 +24,7 @@ from editor_tpu.engine.train import TrainState, build_train_step, make_train_sta
 from editor_tpu.evals.metrics import R1mAPEvaluator
 from editor_tpu.losses import make_loss
 from editor_tpu.models.editor import EditorConfig, editor_config_from, editor_init
-from editor_tpu.parallel.mesh import make_mesh, shard_batch
+from editor_tpu.parallel.mesh import make_mesh, shard_batch, shard_host_batch
 from editor_tpu.solver import make_optimizer, make_scheduler
 from editor_tpu.utils.logger import MetricWriter, setup_logger
 from editor_tpu.utils.meter import AverageMeter
@@ -75,7 +75,15 @@ def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
         feed = dict(imgs, camid=jnp.asarray(batch["camid"]))
         if mesh is not None:
             feed = shard_batch(mesh, feed)
-        feat = np.asarray(eval_step(state.params, state.model_state, feed))
+        out = eval_step(state.params, state.model_state, feed)
+        if jax.process_count() > 1:
+            # multi-process: the feature output is data-sharded across
+            # processes — gather it so the host-side evaluator sees all rows
+            from jax.experimental import multihost_utils
+            feat = np.asarray(multihost_utils.process_allgather(out,
+                                                                tiled=True))
+        else:
+            feat = np.asarray(out)
         take = min(len(feat), total - seen)  # trim static-shape padding
         evaluator.update(feat[:take], batch["pid"][:take],
                          batch["camid"][:take],
@@ -89,9 +97,21 @@ def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
 def do_train(cfg, dm: Optional[ReIDDataModule] = None,
              mesh=None, decode_fn=None,
              max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
-    """Train EDITOR per the config; returns {'state', 'best', 'ecfg'}."""
-    logger = setup_logger("editor_tpu.train", cfg.OUTPUT_DIR, "train_log.txt")
-    writer = MetricWriter(cfg.OUTPUT_DIR, tensorboard=cfg.TPU.TENSORBOARD)
+    """Train EDITOR per the config; returns {'state', 'best', 'ecfg'}.
+
+    Multi-process aware (call ``parallel.multihost.initialize()`` first —
+    ``cli.train`` does): the mesh spans all processes' devices, every host
+    loads only its ``PKSampler.host_shard`` slice and contributes it to the
+    global batch (``shard_host_batch``), rank 0 owns the log/metric files,
+    and checkpointing/eval are collective (every process participates;
+    Orbax's primary host writes)."""
+    nproc = jax.process_count()
+    rank = jax.process_index()
+    primary = rank == 0
+    logger = setup_logger("editor_tpu.train", cfg.OUTPUT_DIR,
+                          "train_log.txt", distributed_rank=rank)
+    writer = MetricWriter(cfg.OUTPUT_DIR if primary else None,
+                          tensorboard=cfg.TPU.TENSORBOARD)
     dm = dm or ReIDDataModule(cfg, decode_fn=decode_fn)
     ecfg = editor_config_from(cfg, dm.num_classes, dm.cam_num)
     compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
@@ -101,6 +121,10 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
             mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL)
         except ValueError:
             mesh = None  # single device
+    if nproc > 1 and mesh is None:
+        # multi-process training always needs the global mesh — span every
+        # process's devices even when the config left MESH_DATA at 1
+        mesh = make_mesh(-1, max(1, cfg.TPU.MESH_MODEL))
 
     loss_func = make_loss(cfg, dm.num_classes)
     lr_fn = make_scheduler(cfg)
@@ -211,10 +235,14 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
         acc_meter.reset()
         epoch_arr = jnp.asarray(epoch)
         n_iter = 0
-        for batch in dm.train_epoch(epoch):
-            feed = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                feed = shard_batch(mesh, feed)
+        for batch in dm.train_epoch(epoch, host_id=rank, num_hosts=nproc):
+            if mesh is not None and nproc > 1:
+                feed = shard_host_batch(mesh, batch)
+            elif mesh is not None:
+                feed = shard_batch(mesh, {k: jnp.asarray(v)
+                                          for k, v in batch.items()})
+            else:
+                feed = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step(state, feed, epoch_arr)
             n_iter += 1
             if n_iter % log_period == 0:

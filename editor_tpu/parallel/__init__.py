@@ -37,6 +37,10 @@ from editor_tpu.parallel.rendezvous import (  # noqa: F401
     monitored_barrier,
     rendezvous_registry,
 )
+from editor_tpu.parallel.etcd import (  # noqa: F401
+    EtcdServer,
+    EtcdStore,
+)
 from editor_tpu.parallel.ring import (  # noqa: F401
     ring_attention,
     ulysses_attention,

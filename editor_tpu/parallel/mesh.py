@@ -72,3 +72,14 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host batch pytree with batch-axis sharding."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_host_batch(mesh: Mesh, batch: Any) -> Any:
+    """Assemble a GLOBAL batch-sharded pytree from each process's LOCAL
+    rows (multi-host data parallelism: every host loads only its
+    ``PKSampler.host_shard`` slice — the reference DDP sampler split,
+    sampler_ddp.py:159-168 — and contributes it to the global array)."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

@@ -106,3 +106,114 @@ def test_multihost_two_process_editor_training(tmp_path):
     restored = cm.restore(template=template)
     assert int(np.asarray(restored.step)) == STEPS
     cm.close()
+
+
+def _make_tiny_dataset(root: str) -> None:
+    """4-id tri-modal RGBNT201 tree (same recipe as tests/test_cli.py)."""
+    import os.path as osp
+
+    from PIL import Image
+
+    base = osp.join(root, "RGBNT201")
+    protos = {pid: np.random.RandomState(100 + pid)
+              .randint(0, 255, (64, 32, 3)) for pid in range(4)}
+    idx = 0
+    for split, n in (("train_171", 16), ("test", 8)):
+        for i in range(n):
+            pid, cam = i % 4, (i // 4) % 2 + 1
+            name = f"{pid:06d}_cam{cam}_{idx}.jpg"
+            noisy = np.clip(
+                protos[pid] + np.random.RandomState(idx)
+                .randint(-20, 20, (64, 32, 3)), 0, 255).astype(np.uint8)
+            for mod in ("RGB", "NI", "TI"):
+                p = osp.join(base, split, mod, name)
+                os.makedirs(osp.dirname(p), exist_ok=True)
+                Image.fromarray(noisy).save(p)
+            idx += 1
+
+
+_TRAIN_OPTS = [
+    "MODEL.TRANSFORMER_TYPE", "vit_tiny_test",
+    "MODEL.PRETRAIN_CHOICE", "random",
+    "INPUT.SIZE_TRAIN", "[64, 32]",
+    "INPUT.SIZE_TEST", "[64, 32]",
+    "DATASETS.NAMES", "RGBNT201",
+    "DATALOADER.NUM_INSTANCE", "2",
+    "DATALOADER.NUM_WORKERS", "2",
+    "SOLVER.IMS_PER_BATCH", "8",
+    "SOLVER.MAX_EPOCHS", "1",
+    "SOLVER.EVAL_PERIOD", "1",
+    "SOLVER.CHECKPOINT_PERIOD", "1",
+    "SOLVER.LOG_PERIOD", "1",
+    "SOLVER.SEED", "7",
+    "MODEL.FREQUENCY_KEEP", "3",
+    "TEST.IMS_PER_BATCH", "8",
+    "TPU.COMPUTE_DTYPE", "float32",
+]
+
+
+@pytest.mark.slow
+def test_multihost_production_cli_train(tmp_path):
+    """The PRODUCTION entry point multi-process: two launchers drive
+    ``editor_tpu.cli.train`` itself (not a bespoke worker) through the c10d
+    rendezvous — per-host data loading (host_shard), global-mesh training,
+    collective eval with feature allgather, primary-only logs/metrics, and
+    collective checkpointing — and the resulting mAP matches a
+    single-process run of the identical config (reference: torchrun +
+    train_net.py end to end)."""
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    _make_tiny_dataset(root)
+    out_mp = str(tmp_path / "out_mp")
+
+    rdzv_port, master_port = _free_port(), _free_port()
+    env = dict(os.environ)
+    env["EDITOR_TPU_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=2"])
+
+    opts = _TRAIN_OPTS + ["DATASETS.ROOT_DIR", root, "OUTPUT_DIR", out_mp]
+    cmd = [sys.executable, "-m", "editor_tpu.cli.launch",
+           "--nnodes", "2", "--nproc_per_node", "1",
+           "--rdzv_backend", "c10d",
+           "--rdzv_endpoint", f"127.0.0.1:{rdzv_port}",
+           "--rdzv_id", "mh_cli",
+           "--master_port", str(master_port),
+           "--max_restarts", "0",
+           "--", sys.executable, "-m", "editor_tpu.cli.train"] + opts
+    logs = [open(tmp_path / f"cli_launcher{i}.log", "w") for i in range(2)]
+    procs = [subprocess.Popen(cmd, cwd=REPO_ROOT, env=env, stdout=log,
+                              stderr=subprocess.STDOUT) for log in logs]
+    try:
+        for i, p in enumerate(procs):
+            assert p.wait(timeout=600) == 0, (
+                (tmp_path / f"cli_launcher{i}.log").read_text()[-5000:])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for log in logs:
+            log.close()
+
+    # primary-only artifacts exist exactly once (rank 0's)
+    assert os.path.exists(os.path.join(out_mp, "metrics.jsonl"))
+    assert os.path.isdir(os.path.join(out_mp, "ckpt"))
+    import json as _json
+    maps = [r["mAP"] for r in
+            map(_json.loads,
+                open(os.path.join(out_mp, "metrics.jsonl")))
+            if "mAP" in r]
+    assert maps and np.isfinite(maps[-1])
+
+    # single-process oracle: identical config, same data order (host_shard
+    # blocks reassemble the same global batches) -> same mAP
+    from editor_tpu.cli.train import main as train_main
+    out_sp = str(tmp_path / "out_sp")
+    result = train_main(_TRAIN_OPTS
+                        + ["DATASETS.ROOT_DIR", root, "OUTPUT_DIR", out_sp,
+                           "TPU.MESH_DATA", "4"])
+    assert abs(maps[-1] - result["best"]["mAP"]) <= 0.02, (
+        maps[-1], result["best"]["mAP"])
