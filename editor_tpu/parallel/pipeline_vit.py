@@ -95,9 +95,8 @@ def make_stage_fn(cfg: ViTConfig, training: bool,
         return t + (branch.astype(jnp.float32) / keep
                     * mask).astype(t.dtype)
 
-    def _block(bp: dict, t: Array) -> Tuple[Array, Array, Array]:
-        """(attention-out, mlp-input-independent parts): returns
-        (mid, probs) for the attention sub-block; TP runs the Megatron
+    def _block(bp: dict, t: Array) -> Tuple[Array, Array]:
+        """(mid, probs) for the attention sub-block; TP runs the Megatron
         split with explicit psums, non-TP reuses the vit module path."""
         ln1 = layernorm(bp["norm1"], t, cfg.ln_eps)
         if tp_axis is None:
