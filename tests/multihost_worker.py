@@ -34,6 +34,7 @@ import numpy as np
 DATASET_N = 16
 BATCH = 8
 STEPS = 2
+ELASTIC_STEPS = 4          # --elastic mode trains 2 epochs x 2 batches
 IMG = (64, 32)
 
 
@@ -119,6 +120,110 @@ def oracle_losses():
     return losses
 
 
+def _rows_for_step(sampler, items, b: int, rank: int, world: int):
+    """This process's rows of global batch ``b`` — 2 batches per epoch
+    (DATASET_N/BATCH), so step b lives in epoch 1 + b//2 at offset b%2.
+    Indexing by absolute step keeps the data schedule identical across
+    crash/restart incarnations (and for the single-process oracle)."""
+    epoch, off = 1 + b // 2, b % 2
+    per = BATCH // world
+    mine = sampler.host_shard(epoch, rank, world)
+    return batch_rows(mine[off * per:(off + 1) * per], items)
+
+
+def oracle_losses_elastic():
+    """Uninterrupted single-process run of the ELASTIC_STEPS schedule."""
+    import jax.numpy as jnp
+
+    items = synth_items()
+    sampler = make_sampler(items)
+    state, step = _build_step()
+    losses = []
+    for b in range(ELASTIC_STEPS):
+        batch = {k: jnp.asarray(v)
+                 for k, v in _rows_for_step(sampler, items, b, 0, 1).items()}
+        state, metrics = step(state, batch, jnp.asarray(1 + b // 2))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def main_elastic(outdir: str) -> None:
+    """Crash/restart-all/resume incarnation of the multi-process worker —
+    the TPU-native torchelastic recovery model (checkpoint-restart,
+    reference elastic/agent/server/api.py:827-884 monitor loop +
+    local_timer/_reap semantics; SURVEY.md §5.3).
+
+    Every step ends with a COLLECTIVE checkpoint save. On incarnation 0 the
+    process with rank MH_CRASH_RANK dies (``os._exit``) right after step
+    MH_CRASH_AFTER_STEP's checkpoint commits — the surviving peer blocks in
+    the next collective until the supervisor's restart-all reaps it. The
+    restarted incarnation restores the latest checkpoint on every process
+    and finishes the remaining steps; the test stitches the two incarnations
+    together and asserts loss parity with an uninterrupted oracle."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from editor_tpu.parallel import multihost
+
+    multihost.initialize()
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from editor_tpu.utils.checkpoint import CheckpointManager
+
+    rank = multihost.process_index()
+    world = multihost.process_count()
+    restart = int(os.environ.get("EDITOR_TPU_RESTART_COUNT", "0"))
+    crash_rank = int(os.environ.get("MH_CRASH_RANK", "-1"))
+    crash_after = int(os.environ.get("MH_CRASH_AFTER_STEP", "-1"))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+
+    state, step = _build_step(mesh)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+    cm = CheckpointManager(os.path.join(outdir, "ckpt_elastic"),
+                           max_to_keep=2)
+    start = 0
+    if cm.latest_step() is not None:
+        state = cm.restore(template=state)
+        start = int(np.asarray(state.step))
+
+    items = synth_items()
+    sampler = make_sampler(items)
+    losses = []
+    for b in range(start, ELASTIC_STEPS):
+        local = _rows_for_step(sampler, items, b, rank, world)
+        gb = {k: jax.make_array_from_process_local_data(data_sh, v)
+              for k, v in local.items()}
+        state, metrics = step(state, gb, jnp.asarray(1 + b // 2))
+        losses.append(float(metrics["loss"]))
+        cm.save(b + 1, state, force=True)
+        cm.wait()
+        if restart == 0 and rank == crash_rank and b == crash_after:
+            # record what this incarnation saw, then die without cleanup
+            # (the peer is now blocked in a collective; the supervisor's
+            # failure detection + restart-all is what frees it)
+            with open(os.path.join(
+                    outdir, f"elastic_rank{rank}_r{restart}.json"),
+                    "w") as f:
+                json.dump({"start": start, "losses": losses}, f)
+            os._exit(17)
+    cm.close()
+
+    with open(os.path.join(outdir, f"elastic_rank{rank}_r{restart}.json"),
+              "w") as f:
+        json.dump({"start": start, "losses": losses,
+                   "world": world, "ndev_global": jax.device_count()}, f)
+    print(f"elastic worker rank {rank}/{world} r{restart}: "
+          f"start={start} losses={losses}", flush=True)
+    multihost.shutdown()
+
+
 def main(outdir: str) -> None:
     import jax
 
@@ -192,4 +297,7 @@ def main(outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    if sys.argv[1] == "--elastic":
+        main_elastic(sys.argv[2])
+    else:
+        main(sys.argv[1])

@@ -108,6 +108,71 @@ def test_multihost_two_process_editor_training(tmp_path):
     cm.close()
 
 
+@pytest.mark.slow
+def test_multihost_elastic_crash_restart_resume(tmp_path):
+    """Fault tolerance across REAL process boundaries: a 2-process JAX CPU
+    cluster where rank 1 dies mid-training (after its step-2 checkpoint
+    commits), leaving rank 0 blocked in a collective. The elastic
+    supervisor's failure detection reaps the whole group and restarts it
+    (reference SimpleElasticAgent restart-all, elastic/agent/server/api.py:
+    827-884); the restarted cluster restores the latest collective Orbax
+    checkpoint on every process and finishes the schedule. The stitched
+    trajectory (incarnation 0 steps 1-2 + incarnation 1 steps 3-4) must
+    match an uninterrupted single-process oracle."""
+    master_port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=2"])
+    env["MH_CRASH_RANK"] = "1"
+    env["MH_CRASH_AFTER_STEP"] = "1"   # dies after global step index 1
+
+    cmd = [sys.executable, "-m", "editor_tpu.cli.launch",
+           "--nproc_per_node", "2",
+           "--master_port", str(master_port),
+           "--max_restarts", "1",
+           "--error_dir", str(tmp_path / "err"),
+           "--", sys.executable, "-m", "tests.multihost_worker",
+           "--elastic", str(tmp_path)]
+    log_path = tmp_path / "launcher.log"
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(cmd, cwd=REPO_ROOT, env=env, stdout=log,
+                                stderr=subprocess.STDOUT)
+        try:
+            assert proc.wait(timeout=600) == 0, log_path.read_text()[-4000:]
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    log_text = log_path.read_text()
+    assert "restarts used: 1" in log_text, log_text[-4000:]
+
+    # incarnation 0: only the crashing rank recorded itself (rank 0 was
+    # reaped by the supervisor while blocked in a collective)
+    crash = json.loads((tmp_path / "elastic_rank1_r0.json").read_text())
+    assert crash["start"] == 0 and len(crash["losses"]) == 2
+
+    # incarnation 1: both ranks resumed from the step-2 checkpoint
+    resumed = []
+    for r in range(2):
+        path = tmp_path / f"elastic_rank{r}_r1.json"
+        assert path.exists(), log_text[-4000:]
+        resumed.append(json.loads(path.read_text()))
+    for res in resumed:
+        assert res["start"] == 2, res
+        assert len(res["losses"]) == 2
+        assert res["world"] == 2 and res["ndev_global"] == 4
+    np.testing.assert_allclose(resumed[0]["losses"], resumed[1]["losses"],
+                               rtol=1e-6)
+
+    # the stitched trajectory equals an uninterrupted single-process run
+    from tests.multihost_worker import oracle_losses_elastic
+    ref = oracle_losses_elastic()
+    np.testing.assert_allclose(crash["losses"] + resumed[0]["losses"], ref,
+                               rtol=3e-4)
+
+
 def _make_tiny_dataset(root: str) -> None:
     """4-id tri-modal RGBNT201 tree (same recipe as tests/test_cli.py)."""
     import os.path as osp
