@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--rdzv_endpoint", default="",
                         help="host:port (c10d/etcd) or filesystem path (file)")
     parser.add_argument("--rdzv_id", default="editor_tpu_job")
+    parser.add_argument("--rdzv_conf", default="",
+                        help="backend extras as KEY=VALUE[,KEY=VALUE...] "
+                             "(torchrun --rdzv_conf): e.g. settle_s=5, "
+                             "keep_alive_interval=2, is_server=1")
     parser.add_argument("--min_nodes", type=int, default=None,
                         help="elastic lower bound (defaults to --nnodes)")
     parser.add_argument("--max_nodes", type=int, default=None,
@@ -58,56 +62,17 @@ def main(argv=None):
 
     from editor_tpu.parallel.elastic import ElasticSupervisor, WorkerSpec
 
-    node_rank, nnodes = args.node_rank, args.nnodes
     if args.rdzv_backend != "static":
-        # negotiate node membership through the pluggable rendezvous
-        # registry (reference torchrun --rdzv_backend,
-        # distributed/run.py:383-401 over elastic/rendezvous/api.py): each
-        # node-level launcher joins a round and receives its node rank +
-        # the settled node count before spawning workers.
-        from editor_tpu.parallel.rendezvous import (RendezvousParameters,
-                                                    rendezvous_registry)
-        # c10d server election is automatic ("auto"): the launcher that can
-        # bind --rdzv_endpoint hosts the store, everyone else connects —
-        # node ranks are an OUTPUT of the rendezvous, so they cannot gate
-        # who serves (with the default node_rank=0 every node would try).
-        handler = rendezvous_registry.create_handler(RendezvousParameters(
-            backend=args.rdzv_backend, endpoint=args.rdzv_endpoint,
-            run_id=args.rdzv_id,
-            min_nodes=args.min_nodes or args.nnodes,
-            max_nodes=args.max_nodes or args.nnodes))
-        store, node_rank, nnodes = handler.next_rendezvous(timeout=60.0)
-        print(f"rendezvous[{args.rdzv_backend}] settled: "
-              f"node {node_rank}/{nnodes}")
-        # node ranks are random-uuid-ordered, so the elected rank-0 node is
-        # generally NOT the host named by --master_addr; the JAX coordinator
-        # (parallel/multihost.py) must live on rank 0 — publish its address
-        # through the store (round-scoped key: reused run_ids on a
-        # persistent store must not see a previous round's address).
-        import socket
-        rnd = getattr(handler, "last_round", 0)
-        addr_key = f"rdzv/{args.rdzv_id}/master_addr/{rnd}"
-        if node_rank == 0:
-            # FQDN: short container hostnames are often not DNS-resolvable
-            # from peer nodes (torch elastic publishes the fqdn too). But
-            # getfqdn() returns 'localhost' when reverse DNS maps the host
-            # to 127.0.0.1 — useless to peers, so fall back to the hostname.
-            fqdn = socket.getfqdn()
-            if not fqdn or fqdn == "localhost" or fqdn.startswith("localhost."):
-                fqdn = socket.gethostname()
-            args.master_addr = fqdn
-            store.set(addr_key, args.master_addr)
-        else:
-            args.master_addr = store.wait(addr_key, timeout=60.0)
-        print(f"coordinator (rank-0 node): {args.master_addr}")
+        return _run_elastic(args, cmd)
 
-    # single supervisor per node; worker ranks offset by node_rank
-    world = nnodes * args.nproc_per_node
+    # static path: fixed node ranks/addresses (torchrun --standalone /
+    # --node_rank), one supervisor with internal restart-all
+    world = args.nnodes * args.nproc_per_node
     env = {
         "MASTER_ADDR": args.master_addr,
         "MASTER_PORT": str(args.master_port),
         "WORLD_SIZE": str(world),
-        "NODE_RANK": str(node_rank),
+        "NODE_RANK": str(args.node_rank),
         "NPROC_PER_NODE": str(args.nproc_per_node),
     }
     spec = WorkerSpec(
@@ -126,6 +91,154 @@ def main(argv=None):
     restarts = sup.run()
     print(f"launch complete; restarts used: {restarts}")
     return restarts
+
+
+def _elect_coordinator(args, store, node_rank: int, rnd: int) -> tuple:
+    """Publish/fetch the JAX coordinator (rank-0 node) address through the
+    rendezvous store. Node ranks are random-uuid-ordered, so the elected
+    rank-0 node is generally NOT the host named by --master_addr; the key is
+    round-scoped because reused run_ids on a persistent store must not see
+    a previous round's address (reference: torch elastic workers read the
+    rank-0 fqdn from the rendezvous store)."""
+    import socket
+    key = f"rdzv/{args.rdzv_id}/coord/{rnd}"
+    if node_rank == 0:
+        # FQDN: short container hostnames are often not DNS-resolvable
+        # from peer nodes (torch elastic publishes the fqdn too). But
+        # getfqdn() returns 'localhost' when reverse DNS maps the host
+        # to 127.0.0.1 — useless to peers, so fall back to the hostname.
+        fqdn = socket.getfqdn()
+        if not fqdn or fqdn == "localhost" or fqdn.startswith("localhost."):
+            fqdn = socket.gethostname()
+        port = str(args.master_port)
+        if port == "0":
+            # auto port: fresh per round, so a restarted coordinator can
+            # never collide with a lingering socket of the previous one
+            with socket.socket() as s:
+                s.bind(("", 0))
+                port = str(s.getsockname()[1])
+        store.set(key, f"{fqdn}:{port}")
+        return fqdn, port
+    addr, _, port = store.wait(key, timeout=60.0).rpartition(":")
+    return addr, port
+
+
+def _run_elastic(args, cmd) -> int:
+    """Dynamic-rendezvous launch: the full torchrun agent loop (reference
+    _invoke_run, elastic/agent/server/api.py:827-884). Each node-level
+    launcher negotiates membership through the pluggable rendezvous
+    registry, spawns its workers, and supervises ONE round at a time:
+
+      * local worker failure  -> consume a --max_restarts token, tear the
+        round down (restart_round) so every peer re-joins, re-rendezvous;
+      * peer tore the round down (round counter moved) -> stop local
+        workers, re-join — restart-all across NODE boundaries;
+      * scale-up (nodes parked in the waiting set) / scale-down (peer
+        heartbeats expired) -> tear down + re-join with the new membership
+        (WORLD_SIZE changes; workers resume from the latest checkpoint).
+
+    Membership-change restarts do not consume the failure budget, matching
+    the reference agent."""
+    from editor_tpu.parallel.elastic import (ChildFailedError,
+                                             ElasticSupervisor, RoundOutcome,
+                                             WorkerSpec)
+    from editor_tpu.parallel.rendezvous import (RendezvousParameters,
+                                                rendezvous_registry)
+
+    # c10d server election is automatic ("auto"): the launcher that can
+    # bind --rdzv_endpoint hosts the store, everyone else connects — node
+    # ranks are an OUTPUT of the rendezvous, so they cannot gate who serves
+    # (with the default node_rank=0 every node would try).
+    conf = dict(kv.split("=", 1) for kv in args.rdzv_conf.split(",") if kv)
+    handler = rendezvous_registry.create_handler(RendezvousParameters(
+        backend=args.rdzv_backend, endpoint=args.rdzv_endpoint,
+        run_id=args.rdzv_id,
+        min_nodes=args.min_nodes or args.nnodes,
+        max_nodes=args.max_nodes or args.nnodes,
+        config=conf))
+
+    failures_used = 0   # worker-failure restarts consumed (--max_restarts)
+    rounds = 0          # total incarnations (seeds EDITOR_TPU_RESTART_COUNT)
+    while True:
+        store, node_rank, nnodes = handler.next_rendezvous(timeout=60.0)
+        rnd = handler.last_round
+        print(f"rendezvous[{args.rdzv_backend}] settled: "
+              f"node {node_rank}/{nnodes} (round {rnd})")
+        master_addr, master_port = _elect_coordinator(
+            args, store, node_rank, rnd)
+        print(f"coordinator (rank-0 node): {master_addr}")
+
+        world = nnodes * args.nproc_per_node
+        spec = WorkerSpec(
+            argv=cmd,
+            nproc=args.nproc_per_node,
+            max_restarts=0,  # restart policy lives in THIS loop
+            monitor_interval=args.monitor_interval,
+            heartbeat_timeout=args.heartbeat_timeout,
+            error_dir=args.error_dir,
+            env={
+                "MASTER_ADDR": master_addr,
+                "MASTER_PORT": str(master_port),
+                "WORLD_SIZE": str(world),
+                "NODE_RANK": str(node_rank),
+                "NPROC_PER_NODE": str(args.nproc_per_node),
+            },
+        )
+
+        def _membership(rnd=rnd):
+            try:
+                if handler.current_round() != rnd:
+                    return "round_restarted"
+                if handler.num_nodes_waiting() > 0:
+                    return "scale_up"
+                if handler.num_nodes_dead() > 0:
+                    return "scale_down"
+            except OSError:
+                # store teardown mid-probe (a finished peer hosting the
+                # c10d store exited): keep supervising — the workers' JAX
+                # cluster does not depend on the rendezvous store
+                pass
+            return None
+
+        sup = ElasticSupervisor(
+            spec, membership_check=_membership,
+            membership_interval=float(conf.get("keep_alive_interval", 5.0)),
+            restart_count=rounds)
+        beat = handler.start_keepalive()
+        try:
+            outcome, failures, reason = sup.run_round()
+        finally:
+            beat.set()
+
+        if outcome == RoundOutcome.SUCCEEDED:
+            print(f"launch complete; restarts used: {rounds}")
+            handler.shutdown()
+            return rounds
+        rounds += 1
+        if outcome == RoundOutcome.FAILED:
+            # NOTE: when one worker dies, every peer's in-flight collective
+            # fails within about a second, so healthy nodes usually land
+            # here too (the reference behaves the same under NCCL error
+            # cascades) — each agent spends its own budget, exactly like
+            # torchelastic's per-agent max_restarts. A node whose LAUNCHER
+            # died never re-joins and is pruned by the heartbeat TTL, so
+            # scale-down also converges through this path; the membership
+            # branch below covers the no-cascade cases (workers still
+            # compiling, or blocked without a failing collective).
+            if failures_used >= args.max_restarts:
+                print("launch failed; restart budget exhausted")
+                raise ChildFailedError(failures)
+            failures_used += 1
+            print(f"worker failure; tearing the round down and "
+                  f"re-rendezvousing ({args.max_restarts - failures_used} "
+                  f"failure restarts left)")
+            handler.restart_round()
+        else:
+            print(f"membership change ({reason}); re-rendezvousing")
+            if reason in ("scale_up", "scale_down"):
+                # the detecting node tears the round down; peers observe
+                # the round counter move ("round_restarted") and re-join
+                handler.restart_round()
 
 
 if __name__ == "__main__":

@@ -40,6 +40,15 @@ class WorkerState(enum.Enum):
     FAILED = "FAILED"
 
 
+class RoundOutcome(enum.Enum):
+    """Result of one supervised worker round (reference RunResult,
+    elastic/agent/server/api.py:427-449 + the membership branch of
+    _invoke_run api.py:872-884)."""
+    SUCCEEDED = "SUCCEEDED"
+    FAILED = "FAILED"
+    MEMBERSHIP_CHANGED = "MEMBERSHIP_CHANGED"
+
+
 @dataclasses.dataclass
 class WorkerSpec:
     """reference: elastic/agent/server/api.py:43 (WorkerSpec)."""
@@ -118,12 +127,25 @@ class ElasticSupervisor:
     restart-all on failure while budget remains, reap hung workers."""
 
     def __init__(self, spec: WorkerSpec,
-                 event_log: Optional[Callable[[Dict[str, Any]], None]] = None):
+                 event_log: Optional[Callable[[Dict[str, Any]], None]] = None,
+                 membership_check: Optional[Callable[[], Optional[str]]] = None,
+                 membership_interval: float = 5.0,
+                 restart_count: int = 0):
+        """``membership_check`` (multi-node agents only): called every
+        ``membership_interval`` seconds while workers are HEALTHY; returning
+        a non-None reason string ("round_restarted"/"scale_up"/"scale_down")
+        stops the worker group and ends the round with MEMBERSHIP_CHANGED —
+        the reference agent's num_nodes_waiting branch (api.py:872-884).
+        ``restart_count`` seeds the incarnation counter (the node-level
+        launcher creates one supervisor per rendezvous round but workers
+        must see a monotonically increasing EDITOR_TPU_RESTART_COUNT)."""
         self.spec = spec
         self.remaining_restarts = spec.max_restarts
-        self.restart_count = 0
+        self.restart_count = restart_count
         self.events: List[Dict[str, Any]] = []
         self._event_log = event_log
+        self._membership_check = membership_check
+        self._membership_interval = membership_interval
         self.workers: List[_Worker] = []
 
     def _event(self, name: str, **kw):
@@ -205,28 +227,54 @@ class ElasticSupervisor:
             out.append(ProcessFailure(w.local_rank, code, w.error_file, msg))
         return out
 
-    def run(self) -> int:
-        """Monitor loop (reference _invoke_run, api.py:827-884). Returns the
-        number of restarts used; raises ChildFailedError when the budget is
-        exhausted."""
+    def run_round(self) -> tuple:
+        """Supervise ONE incarnation of the worker group to a terminal
+        outcome (reference _monitor_workers + the HEALTHY membership branch,
+        api.py:844-884). Returns ``(RoundOutcome, failures, reason)``;
+        workers are already stopped on FAILED/MEMBERSHIP_CHANGED — restart
+        policy (budget, re-rendezvous) belongs to the caller."""
         self._start_workers()
+        last_member_check = time.time()
         while True:
             time.sleep(self.spec.monitor_interval)
             state = self._monitor()
             if state == WorkerState.SUCCEEDED:
                 self._event("succeeded", restarts_used=self.restart_count)
-                return self.restart_count
+                return RoundOutcome.SUCCEEDED, [], None
             if state == WorkerState.FAILED:
                 failures = self._failures()
                 self._event("worker_failed",
                             failures=[dataclasses.asdict(f) for f in failures])
                 self._stop_workers()
-                if self.remaining_restarts > 0:
-                    self.remaining_restarts -= 1
-                    self.restart_count += 1
-                    self._event("restarting", remaining=self.remaining_restarts)
-                    self._start_workers()
-                else:
-                    self._event("gave_up")
-                    raise ChildFailedError(failures or [ProcessFailure(
-                        -1, -1, None, "workers failed with no error files")])
+                return RoundOutcome.FAILED, failures, None
+            if (self._membership_check is not None
+                    and time.time() - last_member_check
+                    >= self._membership_interval):
+                last_member_check = time.time()
+                reason = self._membership_check()
+                if reason:
+                    self._event("membership_changed", reason=reason)
+                    self._stop_workers()
+                    return RoundOutcome.MEMBERSHIP_CHANGED, [], reason
+
+    def run(self) -> int:
+        """Single-node monitor loop with internal restart-all (reference
+        _invoke_run, api.py:827-884). Returns the number of restarts used;
+        raises ChildFailedError when the budget is exhausted. Multi-node
+        launchers drive :meth:`run_round` directly instead so a failure can
+        re-enter the rendezvous (cli/launch.py)."""
+        while True:
+            outcome, failures, _ = self.run_round()
+            if outcome == RoundOutcome.SUCCEEDED:
+                return self.restart_count
+            if outcome == RoundOutcome.MEMBERSHIP_CHANGED:
+                raise RuntimeError(
+                    "membership change without a rendezvous-driving launcher")
+            if self.remaining_restarts > 0:
+                self.remaining_restarts -= 1
+                self.restart_count += 1
+                self._event("restarting", remaining=self.remaining_restarts)
+            else:
+                self._event("gave_up")
+                raise ChildFailedError(failures or [ProcessFailure(
+                    -1, -1, None, "workers failed with no error files")])

@@ -409,6 +409,14 @@ class DynamicRendezvous:
         """Scale-up signal the agent polls (reference api.py:872-884)."""
         return len(self._state()["waiting"])
 
+    def current_round(self) -> int:
+        """The store's round counter. An agent that settled in round N and
+        later reads current_round() != N knows a peer tore the round down
+        (worker failure or membership change on that peer) and must stop
+        its own workers and re-join (reference _RendezvousJoinOp observing
+        the state version, dynamic_rendezvous.py:779-875)."""
+        return self._state()["round"]
+
     def restart_round(self) -> None:
         """Tear down the round so all (running + waiting) nodes re-join —
         the agent calls this before restarting its workers on membership
@@ -615,6 +623,10 @@ class _DynamicHandler(RendezvousHandler):
     def num_nodes_dead(self) -> int:
         """Scale-down signal (participants whose heartbeat TTL expired)."""
         return self._rdzv.num_nodes_dead()
+
+    def current_round(self) -> int:
+        """Round counter in the store (see DynamicRendezvous.current_round)."""
+        return self._rdzv.current_round()
 
     def keep_alive(self) -> None:
         self._rdzv.keep_alive()

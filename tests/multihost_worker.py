@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -131,15 +132,18 @@ def _rows_for_step(sampler, items, b: int, rank: int, world: int):
     return batch_rows(mine[off * per:(off + 1) * per], items)
 
 
-def oracle_losses_elastic():
-    """Uninterrupted single-process run of the ELASTIC_STEPS schedule."""
+def oracle_losses_elastic(n_steps: int = ELASTIC_STEPS):
+    """Uninterrupted single-process run of the elastic step schedule. The
+    global batch of step b is world-size independent (host_shard blocks
+    reassemble it), so this single oracle also certifies runs whose world
+    size CHANGED mid-training (scale-up/scale-down e2es)."""
     import jax.numpy as jnp
 
     items = synth_items()
     sampler = make_sampler(items)
     state, step = _build_step()
     losses = []
-    for b in range(ELASTIC_STEPS):
+    for b in range(n_steps):
         batch = {k: jnp.asarray(v)
                  for k, v in _rows_for_step(sampler, items, b, 0, 1).items()}
         state, metrics = step(state, batch, jnp.asarray(1 + b // 2))
@@ -178,6 +182,10 @@ def main_elastic(outdir: str) -> None:
     restart = int(os.environ.get("EDITOR_TPU_RESTART_COUNT", "0"))
     crash_rank = int(os.environ.get("MH_CRASH_RANK", "-1"))
     crash_after = int(os.environ.get("MH_CRASH_AFTER_STEP", "-1"))
+    n_steps = int(os.environ.get("MH_TOTAL_STEPS", str(ELASTIC_STEPS)))
+    # scale-up/down e2es pace the loop so membership events land while
+    # training is genuinely in flight, not in a compile or a tail
+    sleep_per_step = float(os.environ.get("MH_SLEEP_PER_STEP", "0"))
 
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
     repl = NamedSharding(mesh, P())
@@ -196,7 +204,7 @@ def main_elastic(outdir: str) -> None:
     items = synth_items()
     sampler = make_sampler(items)
     losses = []
-    for b in range(start, ELASTIC_STEPS):
+    for b in range(start, n_steps):
         local = _rows_for_step(sampler, items, b, rank, world)
         gb = {k: jax.make_array_from_process_local_data(data_sh, v)
               for k, v in local.items()}
@@ -204,6 +212,8 @@ def main_elastic(outdir: str) -> None:
         losses.append(float(metrics["loss"]))
         cm.save(b + 1, state, force=True)
         cm.wait()
+        if sleep_per_step:
+            time.sleep(sleep_per_step)
         if restart == 0 and rank == crash_rank and b == crash_after:
             # record what this incarnation saw, then die without cleanup
             # (the peer is now blocked in a collective; the supervisor's

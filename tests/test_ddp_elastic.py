@@ -173,6 +173,46 @@ def test_elastic_watchdog_reaps_hung_worker(tmp_path):
     assert any(e["event"] == "watchdog_kill" for e in sup.events)
 
 
+def test_run_round_membership_change_stops_workers(tmp_path):
+    """run_round with a membership_check (the multi-node agent path,
+    reference api.py:872-884): a healthy-but-running worker group is
+    stopped and the round ends with MEMBERSHIP_CHANGED + the reason."""
+    from editor_tpu.parallel.elastic import (ElasticSupervisor, RoundOutcome,
+                                             WorkerSpec)
+    script = _write_worker(tmp_path, "import time; time.sleep(300)", "wm.py")
+    spec = WorkerSpec(argv=[sys.executable, script], nproc=2,
+                      monitor_interval=0.1, error_dir=str(tmp_path / "err"))
+    sup = ElasticSupervisor(spec, membership_check=lambda: "scale_up",
+                            membership_interval=0.0)
+    t0 = time.time()
+    outcome, failures, reason = sup.run_round()
+    assert outcome == RoundOutcome.MEMBERSHIP_CHANGED
+    assert reason == "scale_up" and failures == []
+    assert time.time() - t0 < 30
+    assert all(w.proc.poll() is not None for w in sup.workers)
+    assert any(e["event"] == "membership_changed" for e in sup.events)
+
+
+def test_run_round_reports_failure_without_restarting(tmp_path):
+    """run_round leaves restart policy to the caller: a failed group is
+    stopped and reported, never restarted (the node-level launcher decides
+    whether to spend budget and re-rendezvous, cli/launch.py)."""
+    from editor_tpu.parallel.elastic import (ElasticSupervisor, RoundOutcome,
+                                             WorkerSpec)
+    script = _write_worker(tmp_path, "import sys; sys.exit(5)", "wf.py")
+    spec = WorkerSpec(argv=[sys.executable, script], nproc=1, max_restarts=9,
+                      monitor_interval=0.1, error_dir=str(tmp_path / "err"))
+    sup = ElasticSupervisor(spec, restart_count=3)
+    outcome, failures, reason = sup.run_round()
+    assert outcome == RoundOutcome.FAILED and reason is None
+    assert failures[0].exitcode == 5
+    # one incarnation only, seeded with the caller's counter (workers see
+    # EDITOR_TPU_RESTART_COUNT=3 and error files are namespaced by it)
+    starts = [e for e in sup.events if e["event"] == "workers_started"]
+    assert len(starts) == 1 and starts[0]["restart"] == 3
+    assert failures[0].error_file.endswith("error_3_0.json")
+
+
 TRAINER_CRASH_ONCE = textwrap.dedent("""
     import os, sys
     from editor_tpu.parallel.elastic import record, heartbeat
