@@ -111,12 +111,14 @@ def test_multihost_two_process_editor_training(tmp_path):
 
 @pytest.mark.slow
 def test_multihost_four_process_editor_training_etcd(tmp_path):
-    """4 OS processes (the upper end of the reference's gloo-on-one-box
-    pattern, distributed/rendezvous.py:54) negotiated through the ETCD
-    rendezvous backend — the etcd v3 gateway store driving a real
-    multi-process launch, not just the handler matrix test (reference
-    etcd_rendezvous.py:77). One device per process; the 4-process global
-    mesh must reproduce the single-process oracle losses."""
+    """4 OS processes as 2 nodes x 2 workers (the upper end of the
+    reference's gloo-on-one-box pattern, distributed/rendezvous.py:54,
+    with a non-trivial RANK = NODE_RANK*NPROC + LOCAL_RANK derivation)
+    negotiated through the ETCD rendezvous backend — the etcd v3 gateway
+    store driving a real multi-process launch, not just the handler matrix
+    test (reference etcd_rendezvous.py:77). One device per process; the
+    4-process global mesh must reproduce the single-process oracle
+    losses."""
     from editor_tpu.parallel.etcd import EtcdServer
     server = EtcdServer()
     master_port = _free_port()
@@ -128,7 +130,7 @@ def test_multihost_four_process_editor_training_etcd(tmp_path):
         flags + ["--xla_force_host_platform_device_count=1"])
 
     cmd = [sys.executable, "-m", "editor_tpu.cli.launch",
-           "--nnodes", "4", "--nproc_per_node", "1",
+           "--nnodes", "2", "--nproc_per_node", "2",
            "--rdzv_backend", "etcd",
            "--rdzv_endpoint", server.endpoint,
            "--rdzv_id", "mh_etcd4",
@@ -136,7 +138,7 @@ def test_multihost_four_process_editor_training_etcd(tmp_path):
            "--max_restarts", "0",
            "--", sys.executable, "-m", "tests.multihost_worker",
            str(tmp_path)]
-    logs = [open(tmp_path / f"etcd4_{i}.log", "w") for i in range(4)]
+    logs = [open(tmp_path / f"etcd4_{i}.log", "w") for i in range(2)]
     procs = [subprocess.Popen(cmd, cwd=REPO_ROOT, env=env, stdout=log,
                               stderr=subprocess.STDOUT) for log in logs]
     try:
@@ -424,7 +426,14 @@ def test_multihost_elastic_scale_down(tmp_path):
     finishing the schedule with losses matching the oracle."""
     import signal
 
+    from editor_tpu.parallel.rendezvous import TCPStore
+
+    # the rendezvous store lives on a stable endpoint OUTSIDE the
+    # launchers (the production pattern for kill-tolerant rendezvous —
+    # a launcher-hosted c10d store dies with its launcher); the c10d
+    # auto-election sees the bound port and joins as a client
     rdzv_port = _free_port()
+    store_server = TCPStore("127.0.0.1", rdzv_port, is_server=True)
     env = _mh_env({"MH_TOTAL_STEPS": "6", "MH_SLEEP_PER_STEP": "1.5"})
 
     def cmd():
@@ -481,6 +490,7 @@ def test_multihost_elastic_scale_down(tmp_path):
                     pass
         for log in logs:
             log.close()
+        store_server.close()
 
     t0 = (tmp_path / "down0.log").read_text()
     assert ("membership change (scale_down)" in t0
@@ -606,3 +616,97 @@ def test_multihost_production_cli_train(tmp_path):
                            "TPU.MESH_DATA", "4"])
     assert abs(maps[-1] - result["best"]["mAP"]) <= 0.02, (
         maps[-1], result["best"]["mAP"])
+
+
+@pytest.mark.slow
+def test_multihost_production_train_scale_down(tmp_path):
+    """The PRODUCTION entry point survives losing a node mid-training: two
+    launchers drive ``editor_tpu.cli.train``; after the epoch-1 checkpoint
+    commits, node 1's whole process group is SIGKILLed. Node 0's agent
+    re-rendezvouses (failure cascade or dead-peer detection — both
+    converge), re-settles ALONE, and cli.train auto-resumes from the last
+    collective checkpoint with WORLD_SIZE=1, finishing all epochs. The
+    global math is world-size independent (host_shard reassembly, global
+    batch-norm/OCFR via collectives), so the final mAP must match an
+    uninterrupted single-process run."""
+    import signal
+
+    from editor_tpu.parallel.rendezvous import TCPStore
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    _make_tiny_dataset(root)
+    out_mp = str(tmp_path / "out_mp")
+
+    # stable store endpoint outside the launchers (see scale_down above):
+    # killing a launcher must not kill the rendezvous
+    rdzv_port = _free_port()
+    store_server = TCPStore("127.0.0.1", rdzv_port, is_server=True)
+    env = _mh_env({"EDITOR_TPU_PLATFORM": "cpu"})
+
+    opts = _TRAIN_OPTS + [
+        "DATASETS.ROOT_DIR", root, "OUTPUT_DIR", out_mp,
+        "SOLVER.MAX_EPOCHS", "10", "SOLVER.EVAL_PERIOD", "5",
+    ]
+    cmd = [sys.executable, "-m", "editor_tpu.cli.launch",
+           "--nnodes", "2", "--min_nodes", "1", "--max_nodes", "2",
+           "--nproc_per_node", "1",
+           "--rdzv_backend", "c10d",
+           "--rdzv_endpoint", f"127.0.0.1:{rdzv_port}",
+           "--rdzv_id", "mh_prod_down", "--master_port", "0",
+           "--rdzv_conf",
+           "settle_s=8,keep_alive_interval=1,keep_alive_max_attempt=4",
+           "--max_restarts", "1",
+           "--error_dir", str(tmp_path / "err"),
+           "--", sys.executable, "-m", "editor_tpu.cli.train"] + opts
+    p0, log0 = _spawn_launcher(tmp_path, cmd, env, "prod0")
+    p1, log1 = _spawn_launcher(tmp_path, cmd, env, "prod1")
+    procs, logs = [p0, p1], [log0, log1]
+    try:
+        ckpt_dir = tmp_path / "out_mp" / "ckpt"
+        deadline = time.time() + 300
+        while not any(p.name.isdigit() for p in ckpt_dir.glob("[0-9]*")):
+            assert time.time() < deadline, (
+                (tmp_path / "prod0.log").read_text()[-3000:])
+            assert p0.poll() is None and p1.poll() is None, (
+                (tmp_path / "prod0.log").read_text()[-3000:]
+                + (tmp_path / "prod1.log").read_text()[-3000:])
+            time.sleep(0.1)
+        os.killpg(p1.pid, signal.SIGKILL)
+
+        assert p0.wait(timeout=600) == 0, (
+            (tmp_path / "prod0.log").read_text()[-5000:])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+        for log in logs:
+            log.close()
+        store_server.close()
+
+    t0 = (tmp_path / "prod0.log").read_text()
+    assert "settled: node 0/1" in t0, t0[-4000:]   # solo re-settle
+    log_txt = open(os.path.join(out_mp, "train_log.txt")).read()
+    assert "Resumed from checkpoint" in log_txt
+    assert "Epoch 10 done" in log_txt
+
+    maps = [r["mAP"] for r in
+            map(json.loads, open(os.path.join(out_mp, "metrics.jsonl")))
+            if "mAP" in r]
+    assert maps and np.isfinite(maps[-1])
+
+    # uninterrupted single-process oracle of the identical config; compare
+    # the LAST eval of each (same epoch schedule)
+    from editor_tpu.cli.train import main as train_main
+    out_sp = str(tmp_path / "out_sp")
+    train_main(_TRAIN_OPTS + [
+        "DATASETS.ROOT_DIR", root, "OUTPUT_DIR", out_sp,
+        "SOLVER.MAX_EPOCHS", "10", "SOLVER.EVAL_PERIOD", "5",
+        "TPU.MESH_DATA", "2"])
+    ref_maps = [r["mAP"] for r in
+                map(json.loads, open(os.path.join(out_sp, "metrics.jsonl")))
+                if "mAP" in r]
+    assert abs(maps[-1] - ref_maps[-1]) <= 0.02, (maps[-1], ref_maps[-1])

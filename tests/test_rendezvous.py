@@ -472,6 +472,67 @@ def test_launcher_negotiates_node_ranks_via_file_backend(backend, tmp_path):
         server.stop()
 
 
+def test_launcher_cross_node_round_restart_fast(tmp_path):
+    """Deterministic (no-JAX) coverage of the launcher's agent loop: two
+    node launchers over the file backend; the worker that wins the lock
+    file crashes on incarnation 0. Its agent spends a budget token and
+    tears the round down; the peer's worker is a plain sleeper (no
+    collective cascade), so the peer MUST take the membership
+    'round_restarted' branch. Both re-join and succeed on incarnation 1
+    (reference api.py:827-884, both branches)."""
+    import subprocess
+    import sys
+    import threading
+
+    rdzv = str(tmp_path / "rdzv.json")
+    lock = str(tmp_path / "crash_owner")
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as f:
+        f.write(
+            "import os, sys, time\n"
+            "restart = int(os.environ.get('EDITOR_TPU_RESTART_COUNT', '0'))\n"
+            "if restart == 0:\n"
+            "    try:\n"
+            "        fd = os.open(sys.argv[1], os.O_CREAT | os.O_EXCL)\n"
+            "        os.close(fd)\n"
+            "        time.sleep(1.0)\n"     # let the peer start monitoring
+            "        sys.exit(7)\n"         # the one crasher
+            "    except FileExistsError:\n"
+            "        time.sleep(300)\n"     # peer: no cascade, just blocked
+            "print('done', flush=True)\n")
+
+    outs = {}
+
+    def node(i):
+        outs[i] = subprocess.run(
+            [sys.executable, "-m", "editor_tpu.cli.launch",
+             "--nproc_per_node", "1", "--nnodes", "2",
+             "--rdzv_backend", "file", "--rdzv_endpoint", rdzv,
+             "--rdzv_id", "xfast", "--max_restarts", "1",
+             "--monitor_interval", "0.1",
+             "--rdzv_conf", "keep_alive_interval=0.3",
+             "--error_dir", str(tmp_path / f"err{i}"),
+             "--", sys.executable, script, lock],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo")
+
+    ts = [threading.Thread(target=node, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(150)
+    assert set(outs) == {0, 1}
+    for i, r in outs.items():
+        assert r.returncode == 0, (i, r.stdout[-2000:], r.stderr[-1000:])
+        assert "restarts used: 1" in r.stdout, (i, r.stdout[-2000:])
+    stdouts = [outs[i].stdout for i in range(2)]
+    assert sum("worker failure; tearing the round down" in s
+               for s in stdouts) == 1, stdouts
+    assert sum("membership change (round_restarted)" in s
+               for s in stdouts) == 1, stdouts
+    # incarnation 1 ran to completion on both nodes
+    assert all("done" in s for s in stdouts), stdouts
+
+
 def test_tcp_store_client_retries_until_server_up():
     """A joiner that dials in before the server's launcher has bound the
     port must poll (the reference TCPStore retries until timeout), not die
