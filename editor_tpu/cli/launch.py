@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 
 def main(argv=None):
@@ -118,6 +119,13 @@ def _elect_coordinator(args, store, node_rank: int, rnd: int) -> tuple:
                 s.bind(("", 0))
                 port = str(s.getsockname()[1])
         store.set(key, f"{fqdn}:{port}")
+        if rnd > 0:
+            # persistent stores (etcd/file) would otherwise accumulate one
+            # stale coord key per torn-down round for the job's lifetime
+            try:
+                store.delete(f"rdzv/{args.rdzv_id}/coord/{rnd - 1}")
+            except (OSError, AttributeError):
+                pass
         return fqdn, port
     addr, _, port = store.wait(key, timeout=60.0).rpartition(":")
     return addr, port
@@ -149,7 +157,12 @@ def _run_elastic(args, cmd) -> int:
     # bind --rdzv_endpoint hosts the store, everyone else connects — node
     # ranks are an OUTPUT of the rendezvous, so they cannot gate who serves
     # (with the default node_rank=0 every node would try).
-    conf = dict(kv.split("=", 1) for kv in args.rdzv_conf.split(",") if kv)
+    conf = {}
+    for kv in args.rdzv_conf.split(","):
+        if not kv:
+            continue
+        key, sep, val = kv.partition("=")
+        conf[key] = val if sep else "1"   # bare key = flag (torchrun style)
     handler = rendezvous_registry.create_handler(RendezvousParameters(
         backend=args.rdzv_backend, endpoint=args.rdzv_endpoint,
         run_id=args.rdzv_id,
@@ -159,8 +172,16 @@ def _run_elastic(args, cmd) -> int:
 
     failures_used = 0   # worker-failure restarts consumed (--max_restarts)
     rounds = 0          # total incarnations (seeds EDITOR_TPU_RESTART_COUNT)
+    # join timeout: how long a re-rendezvous may wait for peers to (re)join
+    # (a rebooting node can take minutes) — torchrun's join_timeout analog
+    join_timeout = float(conf.get("join_timeout_s", 600.0))
+    # the heartbeat asserts AGENT liveness, not round phase: it runs for
+    # the launcher's whole lifetime so probe/teardown gaps between rounds
+    # can never read a live peer as dead (the thread dies with the process)
+    handler.start_keepalive()
     while True:
-        store, node_rank, nnodes = handler.next_rendezvous(timeout=60.0)
+        store, node_rank, nnodes = handler.next_rendezvous(
+            timeout=join_timeout)
         rnd = handler.last_round
         print(f"rendezvous[{args.rdzv_backend}] settled: "
               f"node {node_rank}/{nnodes} (round {rnd})")
@@ -193,10 +214,12 @@ def _run_elastic(args, cmd) -> int:
                     return "scale_up"
                 if handler.num_nodes_dead() > 0:
                     return "scale_down"
-            except OSError:
-                # store teardown mid-probe (a finished peer hosting the
-                # c10d store exited): keep supervising — the workers' JAX
-                # cluster does not depend on the rendezvous store
+            except Exception:
+                # store flakiness mid-probe (teardown of a finished peer
+                # hosting the c10d store, a garbled etcd gateway reply):
+                # keep supervising — the workers' JAX cluster does not
+                # depend on the rendezvous store, and run_round guarantees
+                # workers are stopped if anything truly fatal escapes
                 pass
             return None
 
@@ -204,11 +227,7 @@ def _run_elastic(args, cmd) -> int:
             spec, membership_check=_membership,
             membership_interval=float(conf.get("keep_alive_interval", 5.0)),
             restart_count=rounds)
-        beat = handler.start_keepalive()
-        try:
-            outcome, failures, reason = sup.run_round()
-        finally:
-            beat.set()
+        outcome, failures, reason = sup.run_round()
 
         if outcome == RoundOutcome.SUCCEEDED:
             print(f"launch complete; restarts used: {rounds}")
@@ -216,17 +235,35 @@ def _run_elastic(args, cmd) -> int:
             return rounds
         rounds += 1
         if outcome == RoundOutcome.FAILED:
-            # NOTE: when one worker dies, every peer's in-flight collective
-            # fails within about a second, so healthy nodes usually land
-            # here too (the reference behaves the same under NCCL error
-            # cascades) — each agent spends its own budget, exactly like
-            # torchelastic's per-agent max_restarts. A node whose LAUNCHER
-            # died never re-joins and is pruned by the heartbeat TTL, so
-            # scale-down also converges through this path; the membership
-            # branch below covers the no-cascade cases (workers still
-            # compiling, or blocked without a failing collective).
+            # When one worker dies, every peer's in-flight collective fails
+            # within about a second, so healthy nodes land here too (the
+            # reference behaves the same under NCCL error cascades). Before
+            # spending a budget token, give the rendezvous a short window
+            # to reveal a peer-side cause: the ORIGIN agent tears the round
+            # down within ~1 monitor tick, so a cascaded failure sees the
+            # round counter move (or a pending scale signal) and restarts
+            # budget-free — only the true origin (and genuinely local
+            # faults) consume --max_restarts.
+            probe_deadline = time.time() + 2.0 * args.monitor_interval + 1.0
+            while reason is None and time.time() < probe_deadline:
+                reason = _membership()
+                if reason is None:
+                    time.sleep(min(0.2, args.monitor_interval))
+            if reason:
+                print(f"membership change ({reason}): local worker exit "
+                      f"attributed to a peer event; re-rendezvousing")
+                if reason in ("scale_up", "scale_down"):
+                    handler.restart_round()
+                continue
             if failures_used >= args.max_restarts:
                 print("launch failed; restart budget exhausted")
+                try:
+                    # let peers exit with RendezvousClosedError instead of
+                    # blocking out their join timeout (reference agent
+                    # shuts the rendezvous down on give-up)
+                    handler.set_closed()
+                except OSError:
+                    pass
                 raise ChildFailedError(failures)
             failures_used += 1
             print(f"worker failure; tearing the round down and "

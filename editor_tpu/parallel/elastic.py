@@ -157,12 +157,16 @@ class ElasticSupervisor:
     # -- lifecycle ---------------------------------------------------------
 
     def _start_workers(self):
-        os.makedirs(self.spec.error_dir, exist_ok=True)
+        # per-supervisor namespace: co-hosted node launchers often share an
+        # --error_dir (default /tmp/...), and colliding hb files would let
+        # node B's live worker mask node A's hung one from the watchdog
+        nspace = os.path.join(self.spec.error_dir, f"agent_{os.getpid()}")
+        os.makedirs(nspace, exist_ok=True)
         self.workers = []
         for rank in range(self.spec.nproc):
-            err = os.path.join(self.spec.error_dir,
+            err = os.path.join(nspace,
                                f"error_{self.restart_count}_{rank}.json")
-            hb = os.path.join(self.spec.error_dir,
+            hb = os.path.join(nspace,
                               f"hb_{self.restart_count}_{rank}")
             env = dict(os.environ, **(self.spec.env or {}))
             env["EDITOR_TPU_ERROR_FILE"] = err
@@ -232,8 +236,18 @@ class ElasticSupervisor:
         outcome (reference _monitor_workers + the HEALTHY membership branch,
         api.py:844-884). Returns ``(RoundOutcome, failures, reason)``;
         workers are already stopped on FAILED/MEMBERSHIP_CHANGED — restart
-        policy (budget, re-rendezvous) belongs to the caller."""
+        policy (budget, re-rendezvous) belongs to the caller. Any exception
+        escaping the monitor loop (e.g. a membership probe crashing) also
+        stops the workers first — a dead supervisor must never orphan a
+        running worker group."""
         self._start_workers()
+        try:
+            return self._monitor_round()
+        except BaseException:
+            self._stop_workers()
+            raise
+
+    def _monitor_round(self) -> tuple:
         last_member_check = time.time()
         while True:
             time.sleep(self.spec.monitor_interval)

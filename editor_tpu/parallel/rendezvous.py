@@ -305,6 +305,10 @@ class DynamicRendezvous:
         now = time.time()
         dead = []
         for node, join_ts in participants.items():
+            if node == self.node_id:
+                continue  # the scanning node is alive by definition — an
+                # agent probing between rounds must never read its own
+                # paused heartbeat as a scale-down event
             hb = self.store.get(f"{self.key}/hb/{node}")
             last = max(float(hb), join_ts) if hb is not None else join_ts
             if now - last > self._ttl:
@@ -336,11 +340,23 @@ class DynamicRendezvous:
         deadline = time.time() + timeout
         while time.time() < deadline:
             self.keep_alive()  # every pass: this node is provably live
+            if self.is_closed():
+                raise RendezvousClosedError(
+                    "rendezvous was closed (a peer agent gave up)")
             raw = self.store.get(self.key)
             st = raw or dict(self._EMPTY)
             if st["complete"]:
                 if self.node_id in st["participants"]:
                     return self._finish(st)
+                # an ABANDONED completed round (every participant's
+                # heartbeat expired — e.g. a whole job died and was
+                # relaunched with the same run_id on a persistent store):
+                # no supervising agent is left to restart it, so the
+                # arriving node tears it down itself
+                ghosts = self.dead_nodes(st["participants"])
+                if all(n in ghosts for n in st["participants"]):
+                    self.restart_round()
+                    continue
                 # late arrival: park in the waiting set (scale-up signal),
                 # then BLOCK on the blob until the agent restarts the round
                 if self.node_id not in st["waiting"]:
@@ -421,16 +437,28 @@ class DynamicRendezvous:
         """Tear down the round so all (running + waiting) nodes re-join —
         the agent calls this before restarting its workers on membership
         change (scale-up via num_nodes_waiting, scale-down via
-        num_nodes_dead)."""
-        raw = self.store.get(self.key)
-        if raw is None:
-            return
-        new = {"round": raw["round"] + 1, "participants": {}, "waiting": {},
-               "complete": False}
-        if self.store.compare_and_swap(self.key, raw, new)[0]:
-            # rejoining nodes re-create their hb keys on the next beat;
-            # keys of nodes that never come back would otherwise leak
-            self._drop_heartbeats(set(raw["participants"]) | set(raw["waiting"]))
+        num_nodes_dead). Retries until the round counter has actually
+        advanced: a single CAS can lose a benign race (e.g. a late node
+        adding itself to the waiting set), and silently dropping the
+        teardown would let the caller re-settle instantly into the stale
+        completed round and respawn workers against a half-dead cluster."""
+        first = None
+        while True:
+            raw = self.store.get(self.key)
+            if raw is None:
+                return
+            if first is None:
+                first = raw["round"]
+            if raw["round"] > first:
+                return  # a peer already tore this round down
+            new = {"round": raw["round"] + 1, "participants": {},
+                   "waiting": {}, "complete": False}
+            if self.store.compare_and_swap(self.key, raw, new)[0]:
+                # rejoining nodes re-create their hb keys on the next beat;
+                # keys of nodes that never come back would otherwise leak
+                self._drop_heartbeats(set(raw["participants"])
+                                      | set(raw["waiting"]))
+                return
 
     def set_closed(self) -> None:
         """Permanently close (reference RendezvousHandler.set_closed)."""
@@ -720,6 +748,14 @@ def _parse_hostport(endpoint: str, backend: str) -> Tuple[str, int]:
             f"HOST:PORT; got {endpoint!r}")
 
 
+def _as_bool(v) -> bool:
+    """Config values can arrive as strings via --rdzv_conf; bool("0") is
+    True, so coerce explicitly."""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+
 def _create_c10d(params: RendezvousParameters) -> RendezvousHandler:
     host, port = _parse_hostport(params.endpoint, "c10d")
     is_server = params.get("is_server", "auto")
@@ -733,7 +769,7 @@ def _create_c10d(params: RendezvousParameters) -> RendezvousHandler:
         except OSError:
             store = TCPStore(host, port, is_server=False)
     else:
-        store = TCPStore(host, port, is_server=bool(is_server))
+        store = TCPStore(host, port, is_server=_as_bool(is_server))
     return _DynamicHandler("c10d", store, params)
 
 

@@ -472,6 +472,41 @@ def test_launcher_negotiates_node_ranks_via_file_backend(backend, tmp_path):
         server.stop()
 
 
+def test_abandoned_complete_round_is_revived_by_new_arrival():
+    """A completed round whose every participant's heartbeat has expired
+    (whole job died; relaunch reuses the run_id on a persistent store) must
+    not strand new arrivals in the waiting set forever — the arriving node
+    tears the abandoned round down itself and settles a fresh one."""
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        old = DynamicRendezvous(TCPStore("127.0.0.1", port), "ghost",
+                                min_nodes=1, max_nodes=2,
+                                keep_alive_interval=0.2,
+                                keep_alive_max_attempt=2)
+        rnd0, rank0, world0 = old.next_rendezvous(timeout=10)
+        assert world0 == 1
+        # the old job dies: no more keepalives; its heartbeat expires
+        time.sleep(0.5)
+        fresh = DynamicRendezvous(TCPStore("127.0.0.1", port), "ghost",
+                                  min_nodes=1, max_nodes=2,
+                                  keep_alive_interval=0.2,
+                                  keep_alive_max_attempt=2)
+        rnd1, rank1, world1 = fresh.next_rendezvous(timeout=10)
+        assert rnd1 > rnd0
+        assert (rank1, world1) == (0, 1)
+    finally:
+        server.close()
+
+
+def test_rdzv_conf_is_server_string_coercion():
+    """--rdzv_conf values are strings; is_server=0 must mean CLIENT."""
+    from editor_tpu.parallel.rendezvous import _as_bool
+    assert _as_bool("0") is False and _as_bool("false") is False
+    assert _as_bool("1") is True and _as_bool("True") is True
+    assert _as_bool(True) is True and _as_bool(False) is False
+
+
 def test_launcher_cross_node_round_restart_fast(tmp_path):
     """Deterministic (no-JAX) coverage of the launcher's agent loop: two
     node launchers over the file backend; the worker that wins the lock
