@@ -88,10 +88,29 @@ def main(argv=None):
 
     # per-worker RANK derives from LOCAL_RANK (set by the supervisor) at the
     # worker side: RANK = NODE_RANK * nproc + LOCAL_RANK
-    sup = ElasticSupervisor(spec)
+    sup = ElasticSupervisor(spec, event_log=_event_writer(args.error_dir))
     restarts = sup.run()
     print(f"launch complete; restarts used: {restarts}")
     return restarts
+
+
+def _event_writer(error_dir: str):
+    """Persist structured agent events (workers_started / worker_failed /
+    membership_changed / restarting / succeeded / gave_up / watchdog_kill)
+    as JSONL — the torchelastic events module analog (reference
+    elastic/events/api.py:28)."""
+    import json
+    os.makedirs(error_dir, exist_ok=True)
+    path = os.path.join(error_dir, f"events_{os.getpid()}.jsonl")
+
+    def write(rec):
+        try:
+            with open(path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
+
+    return write
 
 
 def _elect_coordinator(args, store, node_rank: int, rnd: int) -> tuple:
@@ -170,6 +189,7 @@ def _run_elastic(args, cmd) -> int:
         max_nodes=args.max_nodes or args.nnodes,
         config=conf))
 
+    event_log = _event_writer(args.error_dir)
     failures_used = 0   # worker-failure restarts consumed (--max_restarts)
     rounds = 0          # total incarnations (seeds EDITOR_TPU_RESTART_COUNT)
     # join timeout: how long a re-rendezvous may wait for peers to (re)join
@@ -226,7 +246,7 @@ def _run_elastic(args, cmd) -> int:
         sup = ElasticSupervisor(
             spec, membership_check=_membership,
             membership_interval=float(conf.get("keep_alive_interval", 5.0)),
-            restart_count=rounds)
+            restart_count=rounds, event_log=event_log)
         outcome, failures, reason = sup.run_round()
 
         if outcome == RoundOutcome.SUCCEEDED:

@@ -566,6 +566,21 @@ def test_launcher_cross_node_round_restart_fast(tmp_path):
                for s in stdouts) == 1, stdouts
     # incarnation 1 ran to completion on both nodes
     assert all("done" in s for s in stdouts), stdouts
+    # structured agent events persisted per node (torchelastic events
+    # analog): every agent logged its round starts; exactly one logged the
+    # failure record with the worker's exit code
+    import glob as _glob
+    import json as _json
+    events = []
+    for i in range(2):
+        paths = _glob.glob(str(tmp_path / f"err{i}" / "events_*.jsonl"))
+        assert paths, (i, list((tmp_path / f"err{i}").iterdir()))
+        events.append([_json.loads(line)
+                       for p in paths for line in open(p)])
+    for ev in events:
+        assert sum(e["event"] == "workers_started" for e in ev) == 2, ev
+    fails = [e for ev in events for e in ev if e["event"] == "worker_failed"]
+    assert len(fails) == 1 and fails[0]["failures"][0]["exitcode"] == 7
 
 
 def test_tcp_store_client_retries_until_server_up():
