@@ -113,6 +113,20 @@ def _event_writer(error_dir: str):
     return write
 
 
+def _parse_rdzv_conf(s: str) -> dict:
+    """Parse --rdzv_conf KEY=VALUE[,KEY=VALUE...] tolerating whitespace
+    around keys/values (torchrun strips these; 'k1=v1, k2=v2' — the format
+    the flag's own help text shows — must not silently drop k2)."""
+    conf = {}
+    for kv in s.split(","):
+        key, sep, val = kv.partition("=")
+        key = key.strip()
+        if not key:
+            continue
+        conf[key] = val.strip() if sep else "1"  # bare key = flag (torchrun)
+    return conf
+
+
 def _elect_coordinator(args, store, node_rank: int, rnd: int) -> tuple:
     """Publish/fetch the JAX coordinator (rank-0 node) address through the
     rendezvous store. Node ranks are random-uuid-ordered, so the elected
@@ -176,12 +190,7 @@ def _run_elastic(args, cmd) -> int:
     # bind --rdzv_endpoint hosts the store, everyone else connects — node
     # ranks are an OUTPUT of the rendezvous, so they cannot gate who serves
     # (with the default node_rank=0 every node would try).
-    conf = {}
-    for kv in args.rdzv_conf.split(","):
-        if not kv:
-            continue
-        key, sep, val = kv.partition("=")
-        conf[key] = val if sep else "1"   # bare key = flag (torchrun style)
+    conf = _parse_rdzv_conf(args.rdzv_conf)
     handler = rendezvous_registry.create_handler(RendezvousParameters(
         backend=args.rdzv_backend, endpoint=args.rdzv_endpoint,
         run_id=args.rdzv_id,
@@ -198,15 +207,26 @@ def _run_elastic(args, cmd) -> int:
     # the heartbeat asserts AGENT liveness, not round phase: it runs for
     # the launcher's whole lifetime so probe/teardown gaps between rounds
     # can never read a live peer as dead (the thread dies with the process)
-    handler.start_keepalive()
+    ka_stop = handler.start_keepalive()
     while True:
         store, node_rank, nnodes = handler.next_rendezvous(
             timeout=join_timeout)
         rnd = handler.last_round
         print(f"rendezvous[{args.rdzv_backend}] settled: "
               f"node {node_rank}/{nnodes} (round {rnd})")
-        master_addr, master_port = _elect_coordinator(
-            args, store, node_rank, rnd)
+        try:
+            master_addr, master_port = _elect_coordinator(
+                args, store, node_rank, rnd)
+        except TimeoutError:
+            # the elected rank-0 node died between settle and publish: a
+            # membership event, not a launcher error — tear the round down
+            # and re-join (its heartbeat expiry prunes it from the next
+            # round), budget-free like every other peer-death path
+            print("coordinator address never published (rank-0 node died?); "
+                  "re-rendezvousing")
+            rounds += 1
+            handler.restart_round()
+            continue
         print(f"coordinator (rank-0 node): {master_addr}")
 
         world = nnodes * args.nproc_per_node
@@ -251,6 +271,15 @@ def _run_elastic(args, cmd) -> int:
 
         if outcome == RoundOutcome.SUCCEEDED:
             print(f"launch complete; restarts used: {rounds}")
+            # graceful departure: stop the heartbeat, REMOVE this node from
+            # the round's participant set (a peer still checkpointing must
+            # not read our expiring heartbeat as scale_down and kill its
+            # nearly-done workers), then drop the store connection
+            ka_stop.set()
+            try:
+                handler.leave()
+            except OSError:
+                pass  # store already gone (we may have hosted it)
             handler.shutdown()
             return rounds
         rounds += 1

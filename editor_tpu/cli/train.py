@@ -53,9 +53,17 @@ def main(argv=None):
     from editor_tpu.engine.loop import do_train
     try:
         result = do_train(cfg)
-    finally:
-        # destroy_process_group equivalent: absorb exit skew across ranks
-        multihost.shutdown()
+    except BaseException as e:
+        # a failing rank must EXIT (nonzero) so the elastic agent sees the
+        # failure — every clean-exit path is a collective handshake that
+        # would deadlock against peers blocked in a train-step collective
+        # (multihost.fail_fast docstring); single-process keeps the normal
+        # exception flow for in-process callers and tests
+        if multihost.process_count() > 1:
+            multihost.fail_fast(e)
+        raise
+    # destroy_process_group equivalent: absorb exit skew across ranks
+    multihost.shutdown()
     print("Best:", result["best"])
     return result
 

@@ -229,7 +229,9 @@ class ReIDDataModule:
                                           seed=cfg.SOLVER.SEED)
 
     def train_epoch(self, epoch: int, host_id: int = 0, num_hosts: int = 1):
-        if num_hosts > 1 and isinstance(self.sampler, PKSampler):
+        if num_hosts > 1:
+            # every sampler host-shards: each host contributes a DISJOINT
+            # block of the deterministic global batch (sampler_ddp.py:159-168)
             idxs = self.sampler.host_shard(epoch, host_id, num_hosts)
             bs = self.cfg.SOLVER.IMS_PER_BATCH // num_hosts
         else:

@@ -101,6 +101,20 @@ class SoftmaxSampler:
         n = (len(idx) // self.batch_size) * self.batch_size
         return idx[:n].astype(np.int64)
 
+    def host_shard(self, epoch: int, host_id: int, num_hosts: int) -> np.ndarray:
+        """Per-host contiguous block of each global batch — same contract
+        as PKSampler.host_shard, so multi-process training shards ANY
+        sampler instead of silently feeding every host the full batch."""
+        full = self.epoch_indices(epoch)
+        n_batches = len(full) // self.batch_size
+        per_host = self.batch_size // num_hosts
+        out = [full[b * self.batch_size + host_id * per_host:
+                    b * self.batch_size + (host_id + 1) * per_host]
+               for b in range(n_batches)]
+        if not out:
+            return np.empty((0,), dtype=np.int64)
+        return np.concatenate(out)
+
 
 class CyclingIterator:
     """Cycle a per-epoch iterator n times (reference

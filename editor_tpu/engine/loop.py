@@ -33,9 +33,17 @@ from editor_tpu.utils.meter import AverageMeter
 _EVAL_STEP_CACHE: dict = {}
 
 
-def _ckpt_state(state, ecfg, tp: int):
+def _ckpt_state(state, ecfg, tp: int, mesh=None):
     """Host copy of the train state in the CANONICAL qkv layout — TP runs
     un-permute before writing so checkpoints are layout-portable."""
+    if jax.process_count() > 1 and mesh is not None:
+        # ZeRO/TP shards live on OTHER processes' devices; device_get on a
+        # non-fully-addressable array raises. All-gather to replicated
+        # first (collective — every process calls this on the same state).
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        shardings = jax.tree_util.tree_map(lambda _: rep, state)
+        state = jax.jit(lambda s: s, out_shardings=shardings)(state)
     host = jax.device_get(state)
     if tp > 1:
         from editor_tpu.parallel.tp import permute_train_state
@@ -63,9 +71,12 @@ def evaluate(cfg, ecfg: EditorConfig, state: TrainState, dm: ReIDDataModule,
         reranking=cfg.TEST.RE_RANKING == "yes",
         msvr_protocol=dm.splits.has_sceneid,
         # MSVR310 rank-list artifact (the reference's `re.txt`,
-        # utils/metrics.py:59-99) — written under OUTPUT_DIR, not cwd
+        # utils/metrics.py:59-99) — written under OUTPUT_DIR, not cwd, and
+        # by process 0 only (all ranks run the collective eval; concurrent
+        # writers on a shared filesystem would interleave the file)
         rank_list_path=(os.path.join(cfg.OUTPUT_DIR, "re.txt")
-                        if dm.splits.has_sceneid and cfg.OUTPUT_DIR else None),
+                        if dm.splits.has_sceneid and cfg.OUTPUT_DIR
+                        and jax.process_index() == 0 else None),
     )
     total = len(dm.val_items)
     seen = 0
@@ -153,6 +164,7 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
 
     augment = make_train_augment(cfg.INPUT)
     ddp_wrap = None
+    state_shardings = None
     if mesh is not None and cfg.TPU.GRAD_COMPRESSION not in ("none", ""):
         # compressed gradient all-reduce needs the explicit shard_map step
         from editor_tpu.parallel.compression import make_reducer
@@ -171,7 +183,6 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
             comm_box["comm"] = new_dd.comm
             return new_dd.train, metrics
     else:
-        state_shardings = None
         if mesh is not None and cfg.TPU.ZERO_STAGE == 1:
             from editor_tpu.engine.train import zero1_state_shardings
             state_shardings = zero1_state_shardings(state, mesh)
@@ -214,13 +225,18 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
         if latest is not None:
             from editor_tpu.parallel.tp import permute_train_state
             restored = ckpt_mgr.restore(
-                latest, template={"state": _ckpt_state(state, ecfg, tp),
+                latest, template={"state": _ckpt_state(state, ecfg, tp, mesh),
                                   "epoch": 0})
             state = jax.tree_util.tree_map(jnp.asarray, restored["state"])
             if not isinstance(state, TrainState):
                 state = TrainState(**state) if isinstance(state, dict) else state
             # checkpoints are canonical-layout; re-enter the TP layout
             state = permute_train_state(state, ecfg.vit.num_heads, tp)
+            if state_shardings is not None:
+                # re-enter the ZeRO/TP device layout (restore hands every
+                # host the full replicated value, same on all processes)
+                state = jax.tree_util.tree_map(jax.device_put, state,
+                                               state_shardings)
             start_epoch = int(restored["epoch"]) + 1
             logger.info("Resumed from checkpoint step %d (epoch %d)",
                         latest, start_epoch - 1)
@@ -265,7 +281,7 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
 
         if ckpt_mgr and epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             ckpt_mgr.save(int(state.step),
-                          {"state": _ckpt_state(state, ecfg, tp),
+                          {"state": _ckpt_state(state, ecfg, tp, mesh),
                            "epoch": epoch})
 
         if epoch % cfg.SOLVER.EVAL_PERIOD == 0 and dm.num_query > 0:
@@ -282,7 +298,7 @@ def do_train(cfg, dm: Optional[ReIDDataModule] = None,
                         "Rank-10": float(cmc[9]) if len(cmc) > 9 else 0.0}
                 if ckpt_mgr:
                     ckpt_mgr.save(int(state.step),
-                                  {"state": _ckpt_state(state, ecfg, tp),
+                                  {"state": _ckpt_state(state, ecfg, tp, mesh),
                                    "epoch": epoch}, force=True)
             logger.info("Best mAP so far: %.2f%%", best["mAP"] * 100)
 

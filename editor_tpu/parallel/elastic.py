@@ -88,19 +88,27 @@ def record(fn: Callable) -> Callable:
         try:
             return fn(*args, **kwargs)
         except Exception as e:  # noqa: BLE001
-            path = os.environ.get("EDITOR_TPU_ERROR_FILE")
-            if path:
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                with open(path, "w") as f:
-                    json.dump({
-                        "message": str(e),
-                        "exc_type": type(e).__name__,
-                        "traceback": traceback.format_exc(),
-                        "timestamp": time.time(),
-                    }, f)
+            write_error_file(e)
             raise
 
     return wrapper
+
+
+def write_error_file(e: BaseException) -> None:
+    """Write the structured JSON error file the supervisor surfaces in
+    ProcessFailure, to the TORCHELASTIC-style ``EDITOR_TPU_ERROR_FILE``
+    path (no-op when the env var is unset)."""
+    path = os.environ.get("EDITOR_TPU_ERROR_FILE")
+    if not path:
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({
+            "message": str(e),
+            "exc_type": type(e).__name__,
+            "traceback": traceback.format_exc(),
+            "timestamp": time.time(),
+        }, f)
 
 
 def heartbeat(path: Optional[str] = None):

@@ -103,26 +103,38 @@ class EtcdStore:
         r = self._post("/kv/deleterange", {"key": self._k(key)})
         return int(r.get("deleted", 0)) > 0
 
+    # Poll pacing for the blocking waits: start fast (a settle handoff is
+    # usually sub-second) and back off toward _POLL_MAX so a node parked for
+    # a long join window costs ~1 request/s against the gateway instead of
+    # the 20/s a fixed 50 ms poll would (the TCPStore backend blocks on a
+    # server-side condition variable; the v3 JSON gateway's watch endpoint
+    # is streaming and out of this subset's scope, so paced polling it is).
+    _POLL_MIN = 0.05
+    _POLL_MAX = 1.0
+
     def wait(self, key: str, timeout: float = 30.0):
         deadline = time.time() + timeout
+        pause = self._POLL_MIN
         while time.time() < deadline:
             v = self.get(key)
             if v is not None:
                 return v
-            time.sleep(0.05)
+            time.sleep(min(pause, max(deadline - time.time(), 0.0)))
+            pause = min(pause * 1.6, self._POLL_MAX)
         raise TimeoutError(f"store key {key!r} not set within {timeout}s")
 
     def wait_ne(self, key: str, not_value, timeout: float = 30.0):
-        """Short-poll read (same contract as TCPStore.wait_ne; the gateway
-        watch API is streaming, out of this subset's scope)."""
+        """Paced-poll read (same contract as TCPStore.wait_ne)."""
         deadline = time.time() + timeout
+        pause = self._POLL_MIN
         while True:
             v = self.get(key)
             if v != not_value:
                 return True, v
             if time.time() >= deadline:
                 return False, v
-            time.sleep(0.05)
+            time.sleep(min(pause, max(deadline - time.time(), 0.0)))
+            pause = min(pause * 1.6, self._POLL_MAX)
 
     def close(self) -> None:
         pass

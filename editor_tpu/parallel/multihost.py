@@ -52,16 +52,52 @@ def barrier(name: str = "editor_tpu_barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
-def shutdown() -> None:
+def shutdown(graceful: bool = True) -> None:
     """``destroy_process_group`` equivalent (reference
     distributed_c10d.py:destroy_process_group): barrier so no process
     leaves while peers still dispatch collectives, then disconnect from
     the coordination service. Without the barrier, exit skew (e.g. rank 0
     still writing a checkpoint) trips the service's shutdown barrier and
-    kills the faster process."""
+    kills the faster process.
+
+    ``graceful=False`` is for a FAILING rank: both the barrier and the
+    coordination-service disconnect are themselves collective handshakes,
+    so running them from the exception path would park this process while
+    its peers sit in a train-step collective — a cluster-wide deadlock the
+    elastic agent can never observe (a failing rank should use
+    :func:`fail_fast`, which also sidesteps the collective atexit/teardown
+    hooks)."""
     if jax.process_count() > 1:
+        if not graceful:
+            return
         barrier("editor_tpu_shutdown")
         jax.distributed.shutdown()
+
+
+def fail_fast(exc: BaseException, exit_code: int = 1) -> None:
+    """Terminate a FAILING rank of a multi-process job immediately.
+
+    On a failing rank every clean-exit path is collective and therefore
+    deadlocks while peers sit in a train-step collective: the shutdown
+    barrier, the coordination-service disconnect handshake, JAX's atexit
+    ``clean_up`` (which re-runs the disconnect), and even the distributed
+    client's C++ destructor at interpreter teardown. So: write the elastic
+    error file (EDITOR_TPU_ERROR_FILE contract), flush the traceback, and
+    ``os._exit`` — the agent sees the nonzero exit within one monitor tick
+    and drives restart/re-rendezvous; the coordinator's heartbeat timeout
+    tears down the surviving ranks (reference: torch workers crash out and
+    the agent reaps, elastic/agent/server/api.py:844-870)."""
+    import sys
+    import traceback
+
+    from editor_tpu.parallel.elastic import write_error_file
+    try:
+        write_error_file(exc)
+        traceback.print_exception(exc)
+    finally:
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(exit_code)
 
 
 def process_index() -> int:

@@ -460,6 +460,23 @@ class DynamicRendezvous:
                                       | set(raw["waiting"]))
                 return
 
+    def leave(self) -> None:
+        """Graceful departure after local SUCCESS: remove this node from
+        the completed round's participant set and drop its heartbeat, so a
+        peer whose workers are still finishing (final checkpoint/eval)
+        never reads our expiring heartbeat as a scale-DOWN event and kills
+        its own nearly-done workers (reference: the agent's _exit_barrier +
+        rendezvous shutdown, elastic/agent/server/api.py:886)."""
+        while True:
+            raw = self.store.get(self.key)
+            if raw is None or self.node_id not in raw.get("participants", {}):
+                break
+            parts = {k: v for k, v in raw["participants"].items()
+                     if k != self.node_id}
+            if self._cas(raw, dict(raw, participants=parts)):
+                break
+        self._drop_heartbeats([self.node_id])
+
     def set_closed(self) -> None:
         """Permanently close (reference RendezvousHandler.set_closed)."""
         self.store.set(self.key + "/closed", True)
@@ -613,6 +630,9 @@ class RendezvousHandler(abc.ABC):
     def shutdown(self) -> bool:
         return True
 
+    def leave(self) -> None:
+        """Graceful departure (no-op for fixed-membership backends)."""
+
 
 class _DynamicHandler(RendezvousHandler):
     """DynamicRendezvous state machine over any store (c10d/file backends)."""
@@ -669,6 +689,9 @@ class _DynamicHandler(RendezvousHandler):
 
     def restart_round(self) -> None:
         self._rdzv.restart_round()
+
+    def leave(self) -> None:
+        self._rdzv.leave()
 
     def shutdown(self) -> bool:
         self.store.close()

@@ -104,6 +104,22 @@ def test_pk_sampler_host_shard():
             np.concatenate([sh[b * 8:(b + 1) * 8] for sh in shards]))
 
 
+def test_softmax_sampler_host_shard():
+    """SAMPLER='softmax' must host-shard like PKSampler — without this,
+    every process in a multi-host run contributes the identical full batch
+    (silent nproc-fold sample duplication)."""
+    from editor_tpu.data.sampler import SoftmaxSampler
+    s = SoftmaxSampler(64, batch_size=16, seed=3)
+    full = s.epoch_indices(5)
+    shards = [s.host_shard(5, h, 2) for h in range(2)]
+    for b in range(len(full) // 16):
+        np.testing.assert_array_equal(
+            full[b * 16:(b + 1) * 16],
+            np.concatenate([sh[b * 8:(b + 1) * 8] for sh in shards]))
+    # disjoint per-batch blocks
+    assert not set(shards[0]) & set(shards[1]) or len(set(full)) < len(full)
+
+
 def test_transforms_shapes_and_determinism():
     key = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.RandomState(0).rand(4, 32, 16, 3), jnp.float32)

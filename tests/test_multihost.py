@@ -710,3 +710,58 @@ def test_multihost_production_train_scale_down(tmp_path):
                 map(json.loads, open(os.path.join(out_sp, "metrics.jsonl")))
                 if "mAP" in r]
     assert abs(maps[-1] - ref_maps[-1]) <= 0.02, (maps[-1], ref_maps[-1])
+
+
+@pytest.mark.slow
+def test_failing_rank_exits_instead_of_deadlocking(tmp_path):
+    """A rank whose do_train raises must EXIT nonzero promptly so the
+    elastic agent can observe the failure — cli.train's exception path runs
+    multihost.shutdown(graceful=False), skipping the shutdown barrier AND
+    the coordination-service disconnect (both are collective handshakes
+    that would park the failing rank forever while its peer sits in a
+    collective; reference: torch workers exit and the agent reaps,
+    elastic/agent/server/api.py:844-870)."""
+    master_port = _free_port()
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import os, sys, time\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')  # same bootstrap as\n"
+        "# tests/multihost_worker.py (ambient sitecustomize pins the TPU)\n"
+        "from editor_tpu.parallel import multihost\n"
+        "multihost.initialize()\n"
+        "assert jax.process_count() == 2\n"
+        "if jax.process_index() == 1:\n"
+        "    # the cli.train exception path, verbatim\n"
+        "    try:\n"
+        "        raise RuntimeError('worker fault')\n"
+        "    except BaseException:\n"
+        "        multihost.shutdown(graceful=False)\n"
+        "        sys.exit(7)\n"
+        "time.sleep(120)  # peer 'stuck in a collective'\n")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env["MASTER_ADDR"] = "127.0.0.1"
+    env["MASTER_PORT"] = str(master_port)
+    env["WORLD_SIZE"] = "2"
+    procs = []
+    try:
+        for rank in range(2):
+            e = dict(env, RANK=str(rank))
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker)], cwd=REPO_ROOT, env=e,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        t0 = time.time()
+        # rank 1 must exit with its OWN code within the init+fault window;
+        # pre-fix it hung forever inside sync_global_devices
+        rc = procs[1].wait(timeout=90)
+        assert rc == 7, (rc, procs[1].stdout.read().decode()[-2000:])
+        assert time.time() - t0 < 90
+        assert procs[0].poll() is None  # the stuck peer is still up (test
+        # kills it below; in production the agent's restart-all reaps it)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+            p.wait(timeout=30)

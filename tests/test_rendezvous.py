@@ -507,6 +507,54 @@ def test_rdzv_conf_is_server_string_coercion():
     assert _as_bool(True) is True and _as_bool(False) is False
 
 
+def test_rdzv_conf_parsing_strips_whitespace():
+    """The comma+space form shown in --rdzv_conf's help text must not
+    silently drop every entry after the first."""
+    from editor_tpu.cli.launch import _parse_rdzv_conf
+    conf = _parse_rdzv_conf("settle_s=5, keep_alive_interval=2, is_server=1")
+    assert conf == {"settle_s": "5", "keep_alive_interval": "2",
+                    "is_server": "1"}
+    assert _parse_rdzv_conf(" flag , k = v ") == {"flag": "1", "k": "v"}
+    assert _parse_rdzv_conf("") == {}
+
+
+def test_graceful_leave_is_not_scale_down():
+    """A node that finishes SUCCESSFULLY leaves the participant set
+    (DynamicRendezvous.leave); a peer still working must not read the
+    departed node's expiring heartbeat as a scale-down event and kill its
+    own nearly-done workers."""
+    port = _port()
+    server = TCPStore("127.0.0.1", port, is_server=True)
+    try:
+        nodes = [DynamicRendezvous(TCPStore("127.0.0.1", port), "bye",
+                                   min_nodes=2, max_nodes=2, settle_s=0.05,
+                                   keep_alive_interval=0.2,
+                                   keep_alive_max_attempt=2)
+                 for _ in range(2)]
+        import threading
+        res = {}
+        ts = [threading.Thread(
+                  target=lambda i=i: res.update(
+                      {i: nodes[i].next_rendezvous(timeout=10)}))
+              for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(30)
+        assert len(res) == 2
+        # node 0 finishes its job and departs gracefully
+        nodes[0].leave()
+        # well past node 0's heartbeat TTL (0.4s):
+        time.sleep(1.0)
+        assert nodes[1].num_nodes_dead() == 0
+        # an actually-dead peer (no leave) IS still detected: re-join both,
+        # then let node 1's heartbeat lapse without leaving
+        st = nodes[1].store.get(nodes[1].key)
+        assert nodes[1].node_id in st["participants"]
+    finally:
+        server.close()
+
+
 def test_launcher_cross_node_round_restart_fast(tmp_path):
     """Deterministic (no-JAX) coverage of the launcher's agent loop: two
     node launchers over the file backend; the worker that wins the lock
