@@ -276,6 +276,12 @@ def _run_elastic(args, cmd) -> int:
             # not read our expiring heartbeat as scale_down and kill its
             # nearly-done workers), then drop the store connection
             ka_stop.set()
+            # join the beat thread BEFORE leave(): a beat already past its
+            # stop-check would otherwise re-create the hb key after leave()
+            # deleted it, leaking a stale key on persistent stores
+            ka_thread = getattr(ka_stop, "thread", None)
+            if ka_thread is not None:
+                ka_thread.join(timeout=10)
             try:
                 handler.leave()
             except OSError:

@@ -53,6 +53,18 @@ def main(argv=None):
     from editor_tpu.engine.loop import do_train
     try:
         result = do_train(cfg)
+    except (SystemExit, KeyboardInterrupt) as e:
+        # deliberate exits are not worker faults: no error file (the elastic
+        # agent must not burn a restart on them), but a multi-process rank
+        # still has to leave via the no-collective-teardown path — the
+        # original exit code is preserved (130 for Ctrl+C by convention)
+        if multihost.process_count() > 1:
+            if isinstance(e, KeyboardInterrupt):
+                code = 130
+            else:
+                code = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
+            multihost.fail_fast(e, exit_code=code, write_error=False)
+        raise
     except BaseException as e:
         # a failing rank must EXIT (nonzero) so the elastic agent sees the
         # failure — every clean-exit path is a collective handshake that

@@ -9,6 +9,7 @@ reference: engine/processor.py:23-214. Differences (TPU-first):
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Callable, Dict, Optional
@@ -33,18 +34,39 @@ from editor_tpu.utils.meter import AverageMeter
 _EVAL_STEP_CACHE: dict = {}
 
 
+@functools.lru_cache(maxsize=8)
+def _leaf_replicator(mesh):
+    """One cached jitted identity per mesh that reshards a single leaf to
+    fully-replicated — compiled once per (mesh, leaf shape) instead of a
+    fresh ``jax.jit(lambda)`` per checkpoint save."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(lambda x: x, out_shardings=rep)
+
+
 def _ckpt_state(state, ecfg, tp: int, mesh=None):
     """Host copy of the train state in the CANONICAL qkv layout — TP runs
-    un-permute before writing so checkpoints are layout-portable."""
+    un-permute before writing so checkpoints are layout-portable.
+
+    Multi-process gather happens LEAF BY LEAF: ZeRO/TP shards live on
+    other processes' devices (``device_get`` on a non-fully-addressable
+    array raises), but replicating the WHOLE state on every device first
+    would materialize exactly the footprint ZeRO shards to avoid. Per
+    leaf the transient device cost is one replicated leaf (freed before
+    the next), so peak memory stays sharded-state + max-leaf. Collective
+    — every process calls this on the same state."""
     if jax.process_count() > 1 and mesh is not None:
-        # ZeRO/TP shards live on OTHER processes' devices; device_get on a
-        # non-fully-addressable array raises. All-gather to replicated
-        # first (collective — every process calls this on the same state).
-        from jax.sharding import NamedSharding, PartitionSpec
-        rep = NamedSharding(mesh, PartitionSpec())
-        shardings = jax.tree_util.tree_map(lambda _: rep, state)
-        state = jax.jit(lambda s: s, out_shardings=shardings)(state)
-    host = jax.device_get(state)
+        rep_fn = _leaf_replicator(mesh)
+
+        def leaf_to_host(x):
+            y = rep_fn(x)
+            h = np.asarray(y)
+            y.delete()  # free the replicated device copy immediately
+            return h
+
+        host = jax.tree_util.tree_map(leaf_to_host, state)
+    else:
+        host = jax.device_get(state)
     if tp > 1:
         from editor_tpu.parallel.tp import permute_train_state
         host = permute_train_state(host, ecfg.vit.num_heads, tp,

@@ -202,7 +202,7 @@ def _tp_attention(qkv: Array, cfg: ViTConfig, need_probs: bool, tp_mesh):
     fused kernel (XLA fallback off-TPU) on its own H/tp heads via shard_map
     — the kernel path survives MESH_MODEL>1 instead of degrading to a
     replicated XLA graph."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from editor_tpu.ops.fused_attention import (attention_from_qkv,
                                                 attention_from_qkv_probs)
@@ -217,7 +217,7 @@ def _tp_attention(qkv: Array, cfg: ViTConfig, need_probs: bool, tp_mesh):
             in_specs=P(bs, None, "model"),
             out_specs=(P(bs, None, "model"),
                        (P(bs, "model", None, None), P(bs, "model", None))),
-            check_rep=False)
+            check_vma=False)
         out, probs = fn(qkv)
         return out, probs
     fn = shard_map(
@@ -225,7 +225,7 @@ def _tp_attention(qkv: Array, cfg: ViTConfig, need_probs: bool, tp_mesh):
         mesh=tp_mesh,
         in_specs=P(bs, None, "model"),
         out_specs=P(bs, None, "model"),
-        check_rep=False)
+        check_vma=False)
     return fn(qkv), None
 
 
@@ -456,14 +456,14 @@ def vit_apply(
     if isinstance(probs, tuple):
         if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
             # heads are independent in the chain: run it per model-shard
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             bs = "data" if "data" in tp_mesh.axis_names else None
             rollout_cls = shard_map(
                 rollout_from_split_probs, mesh=tp_mesh,
                 in_specs=(P(None, bs, "model", None, None),
                           P(None, bs, "model", None)),
                 out_specs=P(bs, "model", None),
-                check_rep=False)(*probs)
+                check_vma=False)(*probs)
         else:
             rollout_cls = rollout_from_split_probs(*probs)
     else:

@@ -491,7 +491,7 @@ def masked_attention_from_qkv(qkv: Array, mask: Array, num_heads: int,
                                     scale=scale, mask_fill=mask_fill)
         return out.transpose(0, 2, 1, 3).reshape(B, N, C)
     if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         bs = "data" if "data" in tp_mesh.axis_names else None
@@ -501,7 +501,7 @@ def masked_attention_from_qkv(qkv: Array, mask: Array, num_heads: int,
             mesh=tp_mesh,
             in_specs=(P(bs, None, None), P(bs, None)),
             out_specs=P(bs, None, None),
-            check_rep=False)(qkv, mask)
+            check_vma=False)(qkv, mask)
     B, N, C3 = qkv.shape
     on_tpu = jax.default_backend() == "tpu"
     tileable = tile and N % tile == 0 and (tile - 1) % 128 == 0

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from editor_tpu.engine.train import TrainState
 from editor_tpu.models.editor import EditorConfig, editor_apply
@@ -120,7 +120,7 @@ def build_ddp_train_step(
             local_step, mesh=mesh,
             in_specs=(repl, repl, batch_spec(batch), repl),
             out_specs=(repl, repl, repl),
-            check_rep=False,
+            check_vma=False,
         )
         new_train, new_comm, metrics = fn(ddp_state.train, ddp_state.comm,
                                           batch, epoch)

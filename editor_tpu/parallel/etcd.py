@@ -113,15 +113,20 @@ class EtcdStore:
     _POLL_MAX = 1.0
 
     def wait(self, key: str, timeout: float = 30.0):
+        # do/while shape (like wait_ne): a get() follows EVERY sleep, so a
+        # key published during the final backoff window (up to _POLL_MAX)
+        # is still observed instead of raising a spurious TimeoutError
         deadline = time.time() + timeout
         pause = self._POLL_MIN
-        while time.time() < deadline:
+        while True:
             v = self.get(key)
             if v is not None:
                 return v
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"store key {key!r} not set within {timeout}s")
             time.sleep(min(pause, max(deadline - time.time(), 0.0)))
             pause = min(pause * 1.6, self._POLL_MAX)
-        raise TimeoutError(f"store key {key!r} not set within {timeout}s")
 
     def wait_ne(self, key: str, not_value, timeout: float = 30.0):
         """Paced-poll read (same contract as TCPStore.wait_ne)."""

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 Array = jax.Array
 
@@ -78,7 +78,7 @@ def build_localsgd_train_step(
                       jax.tree_util.tree_map(lambda _: data, batch),
                       repl, repl),
             out_specs=(specs_state, repl),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state, batch, epoch, step_idx)
 

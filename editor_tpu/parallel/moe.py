@@ -33,7 +33,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
@@ -196,5 +196,5 @@ def moe_ffn(params: MoEParams, x: Array, mesh: Mesh,
         in_specs=(P(expert_axis, None), P(), P(expert_axis), P(expert_axis),
                   P(expert_axis), P(expert_axis)),
         out_specs=(P(expert_axis, None), P()),
-        check_rep=False)
+        check_vma=False)
     return fn(x, params.router, params.w1, params.b1, params.w2, params.b2)

@@ -74,7 +74,8 @@ def shutdown(graceful: bool = True) -> None:
         jax.distributed.shutdown()
 
 
-def fail_fast(exc: BaseException, exit_code: int = 1) -> None:
+def fail_fast(exc: BaseException, exit_code: int = 1,
+              write_error: bool = True) -> None:
     """Terminate a FAILING rank of a multi-process job immediately.
 
     On a failing rank every clean-exit path is collective and therefore
@@ -86,13 +87,19 @@ def fail_fast(exc: BaseException, exit_code: int = 1) -> None:
     ``os._exit`` — the agent sees the nonzero exit within one monitor tick
     and drives restart/re-rendezvous; the coordinator's heartbeat timeout
     tears down the surviving ranks (reference: torch workers crash out and
-    the agent reaps, elastic/agent/server/api.py:844-870)."""
+    the agent reaps, elastic/agent/server/api.py:844-870).
+
+    ``write_error=False`` is for DELIBERATE exits (``sys.exit``, Ctrl+C)
+    that still need the no-collective-teardown exit path but are not
+    worker faults: no error file is written, so the elastic agent does
+    not burn a restart-budget slot on them."""
     import sys
     import traceback
 
     from editor_tpu.parallel.elastic import write_error_file
     try:
-        write_error_file(exc)
+        if write_error:
+            write_error_file(exc)
         traceback.print_exception(exc)
     finally:
         sys.stderr.flush()

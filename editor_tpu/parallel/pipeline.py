@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 Array = jax.Array
 
@@ -141,7 +141,7 @@ def pipeline_apply(
         per_stage, mesh=mesh,
         in_specs=(stage_spec, in_spec),
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )(stage_params, xm)
     # out: [S, M, mb, ...]; the last stage's buffer holds the results
     return tmap(lambda o: o[-1].reshape(B, *o.shape[3:]), out)

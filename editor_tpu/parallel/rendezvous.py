@@ -271,7 +271,11 @@ class DynamicRendezvous:
     def start_keepalive(self) -> threading.Event:
         """Background heartbeat thread for the worker/agent lifetime of a
         completed round (reference _PeriodicTimer keep-alive,
-        dynamic_rendezvous.py:206-207). Returns the stop event."""
+        dynamic_rendezvous.py:206-207). Returns the stop event; the Thread
+        rides on it as ``stop.thread`` so shutdown paths can ``join()``
+        after ``stop.set()`` — a beat already past its stop-check could
+        otherwise re-create the hb key AFTER ``leave()`` deleted it,
+        leaking a stale key for the job's lifetime on persistent stores."""
         stop = threading.Event()
 
         def beat():
@@ -282,7 +286,9 @@ class DynamicRendezvous:
                     pass  # store teardown mid-beat: the TTL handles the rest
                 stop.wait(self.keep_alive_interval)
 
-        threading.Thread(target=beat, daemon=True).start()
+        thread = threading.Thread(target=beat, daemon=True)
+        thread.start()
+        stop.thread = thread
         return stop
 
     def _drop_heartbeats(self, nodes) -> None:

@@ -34,7 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
@@ -100,7 +100,7 @@ def ring_attention(q: Array, k: Array, v: Array, mesh: Mesh,
     fn = shard_map(
         functools.partial(_ring_shard, axis_name=seq_axis, S=S, scale=scale),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v)
 
 
@@ -169,7 +169,7 @@ def ring_masked_attention(q: Array, k: Array, v: Array, mask: Array,
         functools.partial(_ring_masked_shard, axis_name=seq_axis, S=S,
                           scale=scale, fill=mask_fill),
         mesh=mesh, in_specs=(spec, spec, spec, P(None, seq_axis)),
-        out_specs=spec, check_rep=False)
+        out_specs=spec, check_vma=False)
     return fn(q, k, v, mask)
 
 
@@ -211,7 +211,7 @@ def ulysses_masked_attention(q: Array, k: Array, v: Array, mask: Array,
         functools.partial(_ulysses_masked_shard, axis_name=seq_axis, S=S,
                           scale=scale, fill=mask_fill),
         mesh=mesh, in_specs=(spec, spec, spec, P(None, seq_axis)),
-        out_specs=spec, check_rep=False)
+        out_specs=spec, check_vma=False)
     return fn(q, k, v, mask)
 
 
@@ -250,5 +250,5 @@ def ulysses_attention(q: Array, k: Array, v: Array, mesh: Mesh,
         functools.partial(_ulysses_shard, axis_name=seq_axis, S=S,
                           scale=scale),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v)

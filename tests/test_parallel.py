@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from editor_tpu.parallel import make_mesh
@@ -25,7 +25,7 @@ def mesh():
 
 def _smap(fn, mesh, in_specs, out_specs):
     return jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_rep=False))
+                             out_specs=out_specs, check_vma=False))
 
 
 def test_collectives(mesh):

@@ -547,10 +547,21 @@ def test_graceful_leave_is_not_scale_down():
         # well past node 0's heartbeat TTL (0.4s):
         time.sleep(1.0)
         assert nodes[1].num_nodes_dead() == 0
-        # an actually-dead peer (no leave) IS still detected: re-join both,
-        # then let node 1's heartbeat lapse without leaving
         st = nodes[1].store.get(nodes[1].key)
         assert nodes[1].node_id in st["participants"]
+        # an actually-dead peer (no leave) IS still detected: node 1 is
+        # still a participant but stopped heartbeating after the join, so
+        # its hb is now lapsed well past the TTL (0.4s) — a fresh observer
+        # on the same round reports it dead (node 0 left gracefully and is
+        # out of the participant set entirely, so it does NOT appear)
+        observer = DynamicRendezvous(TCPStore("127.0.0.1", port), "bye",
+                                     min_nodes=2, max_nodes=2,
+                                     settle_s=0.05,
+                                     keep_alive_interval=0.2,
+                                     keep_alive_max_attempt=2)
+        dead = observer.dead_nodes()
+        assert nodes[1].node_id in dead, (dead, nodes[1].node_id)
+        assert nodes[0].node_id not in dead, (dead, nodes[0].node_id)
     finally:
         server.close()
 

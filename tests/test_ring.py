@@ -68,7 +68,7 @@ def test_ring_under_data_x_seq_mesh():
     sh = NamedSharding(mesh, P("data", None, "seq", None))
 
     def fn(a, b, c):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from functools import partial
         from editor_tpu.parallel.ring import _ring_shard
         spec = P("data", None, "seq", None)
@@ -76,7 +76,7 @@ def test_ring_under_data_x_seq_mesh():
             partial(_ring_shard, axis_name="seq", S=4,
                     scale=q.shape[-1] ** -0.5),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_rep=False)(a, b, c)
+            check_vma=False)(a, b, c)
 
     qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
     got = jax.jit(fn)(qs, ks, vs)
