@@ -29,7 +29,7 @@ Array = jax.Array
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, Any], Any],
+    stage_fn: Callable[..., Any],
     stage_params: Any,
     x: Any,
     mesh: Mesh,
@@ -39,12 +39,20 @@ def pipeline_apply(
     stage_param_spec: Any = None,
     batch_axis: Optional[str] = None,
     activation_spec: Any = None,
+    stage_state: Any = None,
+    stage_state_spec: Any = None,
 ) -> Any:
     """Run ``x`` through S pipeline stages.
 
     Args:
       stage_fn: (params_for_one_stage, activations) -> activations, same
-        activation structure/shape in/out (classic GPipe partition).
+        activation structure/shape in/out (classic GPipe partition). When
+        ``stage_state`` is given the signature becomes
+        ``(params, activations, state, valid) -> (activations, state)``
+        where ``state`` is this stage's carried state (updated every tick)
+        and ``valid`` is a traced bool — False on warm-up/drain ticks where
+        the stage processes schedule bubbles, so stateful layers (e.g.
+        :mod:`editor_tpu.parallel.deferred_bn`) mask their accumulation.
       stage_params: pytree with a leading stage axis of size S (stacked per
         stage), sharded over ``axis_name``.
       x: [B, ...] global batch — an array or a PYTREE of arrays sharing the
@@ -66,9 +74,17 @@ def pipeline_apply(
         parallel mesh axis through the schedule (e.g. the EDITOR backbone's
         rollout product sharded over 'model' on its heads dim under PP x TP,
         parallel/pipeline_vit.py).
+      stage_state: optional pytree of per-stage carried state with a
+        leading stage axis of size S (like ``stage_params``), sharded over
+        ``axis_name``. Carried across clock ticks within one
+        ``pipeline_apply`` — the TPU-functional analogue of the reference's
+        cross-microbatch module buffers (``DeferredBatchNorm``'s
+        sum/sum_squares, pipeline/sync/batchnorm.py:43-45).
+      stage_state_spec: optional PartitionSpec pytree for ``stage_state``.
 
     Returns: [B, ...] output activations (from the last stage), same pytree
-    structure as ``x``.
+    structure as ``x`` — or ``(outputs, final_stage_state)`` when
+    ``stage_state`` is given.
     """
     S = mesh.shape[axis_name]
     tmap = jax.tree_util.tree_map
@@ -80,10 +96,20 @@ def pipeline_apply(
         raise ValueError(f"batch {B} not divisible by {num_microbatches}")
     mb = B // num_microbatches
     xm = tmap(lambda l: l.reshape(num_microbatches, mb, *l.shape[1:]), x)
-    fn = jax.checkpoint(stage_fn) if remat else stage_fn
+    stateful = stage_state is not None
+    if stateful:
+        raw_fn = stage_fn
+    else:
+        # unify on the stateful form with an empty-dict state
+        def raw_fn(p, a, st, valid):  # noqa: ANN001
+            del st, valid
+            return stage_fn(p, a), {}
+        stage_state = {}
+    fn = jax.checkpoint(raw_fn, static_argnums=()) if remat else raw_fn
 
-    def per_stage(params_stacked, xm_local):
+    def per_stage(params_stacked, xm_local, state_stacked):
         params_local = tmap(lambda p: p[0], params_stacked)
+        state_local = tmap(lambda p: p[0], state_stacked)
         stage = lax.axis_index(axis_name)
         M = num_microbatches
         T = M + S - 1
@@ -91,12 +117,15 @@ def pipeline_apply(
         recv = tmap(lambda l: jnp.zeros_like(l[0]), xm_local)
 
         def tick(carry, t):
-            outputs, recv = carry
+            outputs, recv, st = carry
             # stage 0 consumes microbatch t (clamped; masked out-of-range)
             feed_idx = jnp.clip(t, 0, M - 1)
             inp = tmap(lambda xl, r: jnp.where(stage == 0, xl[feed_idx], r),
                        xm_local, recv)
-            out = fn(params_local, inp)
+            # stage s holds REAL data (microbatch t-s) iff s <= t <= s+M-1;
+            # other ticks are schedule bubbles a stateful layer must mask
+            valid = (t >= stage) & (t <= stage + M - 1)
+            out, st = fn(params_local, inp, st, valid)
             # last stage commits microbatch t-(S-1) when in range
             commit = (stage == S - 1) & (t >= S - 1)
             out_idx = jnp.clip(t - (S - 1), 0, M - 1)
@@ -108,17 +137,21 @@ def pipeline_apply(
             # hand activations to the next stage (ring neighbor copy)
             perm = [(i, (i + 1) % S) for i in range(S)]
             recv = tmap(lambda o: lax.ppermute(o, axis_name, perm), out)
-            return (outputs, recv), None
+            return (outputs, recv, st), None
 
         # scan (not fori_loop) so the schedule is reverse-differentiable:
         # jax.grad through the pipeline runs the mirrored backward schedule
         # with reversed ppermutes — the 1F1B-equivalent of the reference's
         # autograd through Fork/Join (pipeline/sync/dependency.py:28-47)
-        (outputs, _), _ = lax.scan(tick, (outputs, recv), jnp.arange(T))
-        return tmap(lambda o: o[None], outputs)  # stage axis for the out_spec
+        (outputs, _, state_local), _ = lax.scan(
+            tick, (outputs, recv, state_local), jnp.arange(T))
+        return (tmap(lambda o: o[None], outputs),      # stage axis for the
+                tmap(lambda s: s[None], state_local))  # out_specs
 
     stage_spec = stage_param_spec if stage_param_spec is not None else \
         tmap(lambda _: P(axis_name), stage_params)
+    state_spec = stage_state_spec if stage_state_spec is not None else \
+        tmap(lambda _: P(axis_name), stage_state)
     if activation_spec is not None:
         # [M, mb, d1, ...] in, [S, M, mb, d1, ...] out — per-leaf specs
         # over the original [B, d1, ...] dims (B's entry shards mb)
@@ -137,14 +170,17 @@ def pipeline_apply(
         out_spec = tmap(
             lambda l: P(*([axis_name, None, batch_axis]
                           + [None] * (l.ndim - 2))), xm)
-    out = shard_map(
+    out, new_state = shard_map(
         per_stage, mesh=mesh,
-        in_specs=(stage_spec, in_spec),
-        out_specs=out_spec,
+        in_specs=(stage_spec, in_spec, state_spec),
+        out_specs=(out_spec, state_spec),
         check_vma=False,
-    )(stage_params, xm)
+    )(stage_params, xm, stage_state)
     # out: [S, M, mb, ...]; the last stage's buffer holds the results
-    return tmap(lambda o: o[-1].reshape(B, *o.shape[3:]), out)
+    result = tmap(lambda o: o[-1].reshape(B, *o.shape[3:]), out)
+    if stateful:
+        return result, new_state
+    return result
 
 
 def pipeline_train_step(
@@ -174,6 +210,62 @@ def pipeline_train_step(
         return loss_fn(out)
 
     return jax.jit(jax.value_and_grad(loss_of))
+
+
+# ---------------------------------------------------------------------------
+# cross-stage skip tensors (reference pipeline/sync/skip/skippable.py:52,
+# portal.py:29 — @skippable(stash=[...]) / yield stash(name, x) /
+# yield pop(name))
+# ---------------------------------------------------------------------------
+#
+# TPU re-design: the reference needs Skippable/Portal machinery because its
+# stages pass exactly ONE tensor between GPUs and a skip tensor must be
+# routed around the intermediate devices (a portal holds it on the source
+# GPU and copies it directly to the consumer's device/stream). Here the
+# inter-stage payload is already an arbitrary PYTREE moving over the ICI
+# ring, so a skip is simply a named slot that travels WITH its microbatch:
+# `stash` writes the slot, intermediate stages relay it untouched (each hop
+# is a neighbor ppermute that XLA overlaps with compute — on a ring there
+# is no shorter route), and `pop` reads it and zeroes the slot so the wire
+# cost drops back to nothing... except the slot's static shape. Namespacing
+# (`skippable.py` Namespace) is plain dict keys. Autograd through
+# stash/pop needs no Fork/Join: the slot is part of the scanned carry, so
+# jax.grad routes the skip's cotangent back through the same relay.
+
+def init_skips(batch: int, templates: dict) -> dict:
+    """Zero-filled skip slots for :func:`pipeline_apply`'s activation
+    pytree: ``{name: [d1, ...] template}`` -> ``{name: zeros[B, d1, ...]}``.
+    Feed the result alongside the real activations, e.g.
+    ``x = (tokens, init_skips(B, {'1to3': jnp.zeros((C,))}))``."""
+    return {name: jnp.zeros((batch,) + tuple(t.shape), t.dtype)
+            for name, t in templates.items()}
+
+
+def stash(skips: dict, name: str, value: Array) -> dict:
+    """Write a named skip slot (reference ``yield stash(name, tensor)``,
+    skippable.py:310). The slot must exist in the pytree (init_skips) and
+    ``value`` must match its static shape."""
+    if name not in skips:
+        raise KeyError(f"skip slot {name!r} not declared (init_skips)")
+    if skips[name].shape != value.shape:
+        raise ValueError(
+            f"skip {name!r}: stash shape {value.shape} != slot "
+            f"{skips[name].shape}")
+    out = dict(skips)
+    out[name] = value
+    return out
+
+
+def pop(skips: dict, name: str):
+    """Read a named skip slot and zero it (reference ``yield pop(name)``,
+    skippable.py:332 — a popped skip is consumed). Returns
+    ``(value, skips)``."""
+    if name not in skips:
+        raise KeyError(f"skip slot {name!r} not declared (init_skips)")
+    value = skips[name]
+    out = dict(skips)
+    out[name] = jnp.zeros_like(value)
+    return value, out
 
 
 # ---------------------------------------------------------------------------
